@@ -1,0 +1,188 @@
+"""Typed configuration for the whole VO pipeline.
+
+The reference scatters its operating constants across hard-coded literals
+(box margins at Tracking.cc:61 / pnpmatch.cc:108, Hamming gates at
+pnpmatch.cc:101,192, epipolar threshold at pnpmatch.cc:115, RANSAC params at
+pnpmatch.cc:227, window size at Tracking.cc:244, MSA cost constants at
+Thirdparty/MB/MSA.cpp:30-32, N=500 keypoint capacity at frame.cc:54) plus an
+OpenCV YAML file for intrinsics (Tracking.cc:24-39).  Here every knob lives in
+one frozen dataclass tree so jitted functions can close over static values and
+the whole pipeline is reproducible from a single object.
+
+All shapes are static: keypoint/map capacities are fixed and masked, which is
+what XLA needs and also removes the reference's out-of-bounds classes of bug
+(SURVEY.md §7 "Behavioral quirks").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Stereo pinhole camera (reference: Stereo/KITTI00-02.yaml, Tracking.cc:24-39)."""
+
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    bf: float = 386.1448       # baseline * fx  (depth = bf / disparity, frame.cc:160)
+    width: int = 1241
+    height: int = 376
+    fps: float = 10.0
+    th_depth: float = 35.0     # close/far threshold in units of baseline
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+    @classmethod
+    def kitti_00_02(cls) -> "CameraConfig":
+        return cls()
+
+    @classmethod
+    def kitti_04_12(cls) -> "CameraConfig":
+        # reference: Stereo/KITTI04-12.yaml
+        return cls(fx=707.0912, fy=707.0912, cx=601.8873, cy=183.1104,
+                   bf=379.8145, width=1226, height=370, th_depth=40.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ORBConfig:
+    """ORB frontend. The reference uses cv::ORB defaults (500 features, 8
+    levels, scale 1.2 — frame.cc:75-79); its YAML asks for 2000/grid
+    distribution (KITTI00-02.yaml:36-51) but that section is vestigial.
+
+    The TPU design detects on a fixed pyramid with per-cell top-k selection so
+    every shape is static.  max_keypoints is padded to a lane-friendly 512.
+    """
+
+    max_keypoints: int = 512          # fixed slot count (reference N=500, frame.cc:54)
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    fast_threshold: int = 20          # iniThFAST
+    fast_min_threshold: int = 7       # minThFAST fallback
+    patch_size: int = 31              # rBRIEF sampling patch
+    half_patch: int = 15              # orientation intensity-centroid radius
+    grid_rows: int = 8                # per-cell top-k keypoint distribution
+    grid_cols: int = 16
+    border: int = 19                  # no detection within this margin
+    descriptor_bits: int = 256
+    brief_seed: int = 0x0B5E55ED      # deterministic rBRIEF sampling pattern
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Stereo disparity. Sparse mode correlates a 1-D window along the
+    epipolar line at keypoints only (all the VO pipeline consumes,
+    frame.cc:122-164); dense mode is the full cost-volume engine standing in
+    for the reference's MSA spanning-tree aggregation (Thirdparty/MB/MSA.cpp).
+    """
+
+    max_disparity: int = 64           # reference solves d∈[0,48] (frame.cc:87); padded to lane multiple
+    block_radius: int = 3             # matching window radius (sparse + dense)
+    # cost-volume mixing, mirrors MSA's 0.11*color + 0.89*gradient with
+    # truncations 7.0 / 2.0 (MSA.cpp:30-32, 78-108)
+    color_weight: float = 0.11
+    grad_weight: float = 0.89
+    color_trunc: float = 7.0
+    grad_trunc: float = 2.0
+    # SGM-style scanline aggregation penalties (dense mode)
+    p1: float = 1.0
+    p2: float = 8.0
+    lr_consistency_px: float = 1.0    # LR check tolerance (MSA LRcheck, MSA.cpp:1027)
+    uniqueness_ratio: float = 0.95
+    min_disparity: float = 0.5        # below this the match is invalid
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Brute-force 256-bit Hamming matching gates (pnpmatch.cc:61-199)."""
+
+    last_frame_max_dist: int = 15     # accept gate vs last frame (pnpmatch.cc:101)
+    local_map_max_dist: int = 30      # accept gate vs local map (pnpmatch.cc:192)
+    local_map_ratio: float = 2.0      # second-best / best ratio gate (pnpmatch.cc:192)
+    epipolar_threshold: float = 0.1   # point-to-epiline distance: moving object test (pnpmatch.cc:115)
+    box_margin_init: float = 5.0      # detection-box margin when creating points (Tracking.cc:61)
+    box_margin_match: float = 10.0    # detection-box margin in 2D-2D matching (pnpmatch.cc:108)
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    """RANSAC PnP (reference cv::solvePnPRansac(100, 8.0, 0.99), pnpmatch.cc:227).
+
+    TPU-native: a fixed batch of hypotheses solved in parallel with vmapped
+    minimal solvers and argmax-by-inlier-count instead of a sequential loop.
+    """
+
+    num_hypotheses: int = 256
+    sample_size: int = 6              # DLT minimal-ish sample
+    inlier_px: float = 8.0
+    refine_iters: int = 5             # Gauss-Newton polish on best inlier set
+    min_inliers: int = 10
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Levenberg-Marquardt bundle adjustment (reference g2o motion-only BA:
+    Huber delta sqrt(5.991), 10 iterations, dense 6x6 solve, Optimizer.cc:15-86).
+    """
+
+    iterations: int = 10
+    huber_delta: float = 5.991 ** 0.5
+    init_lambda: float = 1e-4
+    lambda_up: float = 10.0
+    lambda_down: float = 0.1
+    # local BA (sliding window poses + landmarks, Schur complement)
+    local_iterations: int = 5
+    max_landmarks: int = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class SemanticConfig:
+    """Semantic dynamic-object masking (reference: YOLO thread semantic.cc /
+    offline boxes main.cpp:59-97)."""
+
+    max_boxes: int = 32               # fixed detection-box slots per frame
+    online_conf_threshold: float = 0.8   # online yolov2-tiny gate (semantic.cc:31)
+    offline_conf_threshold: float = 0.05  # offline YOLOv3 boxes (bin/Readme.txt)
+    nms_iou: float = 0.45             # darknet do_nms_sort default (yolo_v3.c:31)
+    input_size: int = 352             # yolov2-tiny.cfg width/height
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowConfig:
+    """Sliding-window local map (reference prunes create_id <= frame_num-4,
+    Tracking.cc:239-250: a 4-frame window; capacity = window * max_keypoints)."""
+
+    window_frames: int = 4
+    # ring-buffer capacity for local map points
+    max_map_points: int = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    orb: ORBConfig = dataclasses.field(default_factory=ORBConfig)
+    stereo: StereoConfig = dataclasses.field(default_factory=StereoConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    pnp: PnPConfig = dataclasses.field(default_factory=PnPConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    semantic: SemanticConfig = dataclasses.field(default_factory=SemanticConfig)
+    window: WindowConfig = dataclasses.field(default_factory=WindowConfig)
+    use_semantics: bool = True
+    use_local_map: bool = True
+    dtype: str = "float32"
+
+    @classmethod
+    def kitti(cls, sequence: str = "00") -> "VOConfig":
+        seq = int(sequence)
+        cam = CameraConfig.kitti_00_02() if seq <= 3 else CameraConfig.kitti_04_12()
+        return cls(camera=cam)
+
+    @property
+    def image_shape(self) -> Tuple[int, int]:
+        return (self.camera.height, self.camera.width)

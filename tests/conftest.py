@@ -1,0 +1,28 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on XLA's forced host-platform device count (SURVEY.md §4 test
+strategy).  The environment may pre-register an external TPU PJRT plugin and
+force ``jax_platforms`` programmatically, so we both set the env vars *and*
+override the config after import.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Remote-compile relays intercept even CPU lowering when enabled; disable.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_report_header(config):
+    return f"jax devices: {jax.device_count()} ({jax.default_backend()})"
