@@ -1,0 +1,132 @@
+"""Bundle adjustment as batched Levenberg-Marquardt in pure JAX.
+
+Replaces the reference's g2o motion-only BA (src/Optimizer.cc:15-86: one
+VertexSE3Expmap, one monocular EdgeSE3ProjectXYZOnlyPose per matched map
+point, Huber delta=sqrt(5.991), dense 6x6 solve, LM, 10 iterations) with a
+``lax.scan`` over LM steps.  All residuals and Jacobians for the whole
+keypoint set are evaluated in one fused VPU pass; the normal equations are a
+single 6x6 solve.  Everything vmaps, so RANSAC hypothesis refinement and
+multi-frame local BA reuse the same pieces.
+
+Local BA (poses + landmarks, Schur complement on the landmark diagonal) lives
+in ops/local_ba.py; the distributed version in parallel/sharded_ba.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_semantic_vo_tpu.core import lie
+from stereo_semantic_vo_tpu.core.camera import Camera
+from stereo_semantic_vo_tpu.core.config import BAConfig
+
+
+class BAResult(NamedTuple):
+    T_cw: jax.Array        # (4, 4) optimized world->camera pose
+    cost: jax.Array        # () final robust cost
+    inlier_mask: jax.Array  # (K,) chi2 <= 5.991 at the final pose
+    n_iters: jax.Array     # () iterations actually accepted
+
+
+def reprojection_residuals(
+    T_cw: jax.Array, X_w: jax.Array, uv: jax.Array, cam: Camera
+) -> tuple[jax.Array, jax.Array]:
+    """(K, 2) pixel residuals and (K,) camera-frame depths."""
+    pc = lie.transform_points(T_cw, X_w)
+    z = pc[..., 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    u = cam.fx * pc[..., 0] / safe_z + cam.cx
+    v = cam.fy * pc[..., 1] / safe_z + cam.cy
+    return jnp.stack([u, v], axis=-1) - uv, z
+
+
+def huber_weights(r2: jax.Array, delta: float) -> jax.Array:
+    """IRLS weights for the Huber loss on squared residual norms r2."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    return jnp.where(r <= delta, 1.0, delta / r)
+
+
+def _pose_jacobian(T_cw: jax.Array, X_w: jax.Array, cam: Camera) -> jax.Array:
+    """Analytic d(residual)/d(twist) for a left-multiplied update
+    T <- exp(xi) T, xi = [rho, phi].  Returns (K, 2, 6).
+
+    Same 2x6 block g2o hardcodes (types_six_dof_expmap.cpp:266-288), derived
+    once here and evaluated for all points in parallel.
+    """
+    pc = lie.transform_points(T_cw, X_w)  # (K, 3)
+    x, y = pc[..., 0], pc[..., 1]
+    z = jnp.where(jnp.abs(pc[..., 2]) > 1e-6, pc[..., 2], 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    fx, fy = cam.fx, cam.fy
+    # du/d[t, w], dv/d[t, w] with p_cam = exp(xi) applied on camera-frame point
+    du = jnp.stack(
+        [fx * iz, jnp.zeros_like(z), -fx * x * iz2,
+         -fx * x * y * iz2, fx * (1.0 + x * x * iz2), -fx * y * iz],
+        axis=-1,
+    )
+    dv = jnp.stack(
+        [jnp.zeros_like(z), fy * iz, -fy * y * iz2,
+         -fy * (1.0 + y * y * iz2), fy * x * y * iz2, fy * x * iz],
+        axis=-1,
+    )
+    return jnp.stack([du, dv], axis=-2)
+
+
+def motion_only_ba(
+    T0_cw: jax.Array,
+    X_w: jax.Array,
+    uv: jax.Array,
+    mask: jax.Array,
+    cam: Camera,
+    cfg: BAConfig,
+    use_huber: bool = True,
+) -> BAResult:
+    """Pose-only LM over masked reprojection residuals.
+
+    T0_cw: (4, 4) initial pose; X_w: (K, 3); uv: (K, 2); mask: (K,) bool.
+    """
+    chi2_th = cfg.huber_delta**2
+    m = mask.astype(jnp.float32)
+
+    def robust_cost(T):
+        r, z = reprojection_residuals(T, X_w, uv, cam)
+        w_geom = m * (z > 0.05)
+        r2 = jnp.sum(r * r, axis=-1)
+        if use_huber:
+            d = cfg.huber_delta
+            rho = jnp.where(r2 <= d * d, r2, 2.0 * d * jnp.sqrt(jnp.maximum(r2, 1e-12)) - d * d)
+        else:
+            rho = r2
+        return jnp.sum(w_geom * rho), (r, w_geom, r2)
+
+    def step(carry, _):
+        T, lam, cost = carry
+        _, (r, w_geom, r2) = robust_cost(T)
+        w = w_geom * (huber_weights(r2, cfg.huber_delta) if use_huber else 1.0)
+        J = _pose_jacobian(T, X_w, cam)                       # (K, 2, 6)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("kif,kig->fg", Jw, J)                  # (6, 6)
+        g = jnp.einsum("kif,ki->f", Jw, r)                    # (6,)
+        Hl = H + lam * jnp.diag(jnp.diagonal(H) + 1e-9)
+        delta = -jnp.linalg.solve(Hl, g)
+        T_new = lie.se3_exp(delta) @ T
+        new_cost, _ = robust_cost(T_new)
+        accept = new_cost < cost
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (T, lam, cost), accept
+
+    cost0, _ = robust_cost(T0_cw)
+    (T, _, cost), accepts = jax.lax.scan(
+        step, (T0_cw, jnp.float32(cfg.init_lambda), cost0), None, length=cfg.iterations
+    )
+    r, z = reprojection_residuals(T, X_w, uv, cam)
+    r2 = jnp.sum(r * r, axis=-1)
+    inliers = mask & (z > 0.05) & (r2 <= chi2_th * 4.0)
+    return BAResult(T_cw=T, cost=cost, inlier_mask=inliers, n_iters=jnp.sum(accepts))
