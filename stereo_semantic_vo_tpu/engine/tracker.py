@@ -1,0 +1,255 @@
+"""The per-frame tracking step — the reference's Tracking::Track
+(src/Tracking.cc:180-252) re-designed as one pure jitted function.
+
+Per frame (all fixed shapes, everything masked):
+
+1. ORB extract on the left image (frame.cc:75-79 -> ops/orb.py).
+2. Sparse epipolar stereo -> per-keypoint depth (frame.cc:82-164 ->
+   ops/stereo.py).
+3. Match last frame's map-point-bearing keypoints to current keypoints
+   (Hamming gate < 15, pnpmatch.cc:61-101) with per-target conflict
+   resolution by scatter-min.
+4. Epipolar moving-object test for matches inside detection boxes
+   (F from background matches, distance > 0.1 px => map point poisoned;
+   pnpmatch.cc:103-144) — the semantic dynamic-culling step.
+5. Match surviving local-map points (window regions older than the last
+   frame) with gate < 30 and second/best ratio > 2 (pnpmatch.cc:160-199).
+6. Batched RANSAC-PnP seeded with the constant-velocity prediction
+   (pnpmatch.cc:212-247) + motion-only LM BA with Huber (Optimizer.cc).
+7. Create map points for unmatched keypoints with valid depth outside
+   detection boxes (frame.cc:182-238), writing the ring-buffer region of
+   this frame; window pruning falls out of the create-id age mask
+   (Tracking.cc:239-250).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_semantic_vo_tpu.core import lie
+from stereo_semantic_vo_tpu.core.camera import Camera, backproject, project
+from stereo_semantic_vo_tpu.core.config import VOConfig
+from stereo_semantic_vo_tpu.engine.state import TrackOutputs, VOState, init_state
+from stereo_semantic_vo_tpu.kernels import hamming
+from stereo_semantic_vo_tpu.ops import ba as ba_ops
+from stereo_semantic_vo_tpu.ops import epipolar as epi_ops
+from stereo_semantic_vo_tpu.ops import orb as orb_ops
+from stereo_semantic_vo_tpu.ops import pnp as pnp_ops
+from stereo_semantic_vo_tpu.ops import stereo as stereo_ops
+
+_BIG = jnp.int32(1 << 30)
+
+
+class FrameInput(NamedTuple):
+    left: jax.Array       # (H, W) float32 grayscale [0, 255]
+    right: jax.Array      # (H, W) float32
+    boxes: jax.Array      # (B, 4) float32 [x1, y1, x2, y2] detection boxes
+    boxes_valid: jax.Array  # (B,) bool
+
+
+def _resolve_matches(q_valid, best_tidx, best_dist, accept, n_train):
+    """Many queries may claim one train keypoint; keep the lowest distance.
+
+    Encodes (dist, query) into one int so a single scatter-min resolves both
+    the winner and its distance.  Returns per-train (matched, q_idx)."""
+    Kq = q_valid.shape[0]
+    qidx = jnp.arange(Kq)
+    code = best_dist * Kq + qidx
+    code = jnp.where(accept & q_valid, code, _BIG)
+    per_train = jnp.full((n_train,), _BIG, jnp.int32).at[best_tidx].min(code)
+    matched = per_train < _BIG
+    q_of_train = jnp.where(matched, per_train % Kq, 0)
+    return matched, q_of_train
+
+
+def _region_slots(frame_idx, region_frame, K, W):
+    """Slot offsets of the ring region belonging to ``region_frame``."""
+    r = jnp.mod(region_frame, W)
+    return r * K + jnp.arange(K)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState, TrackOutputs]:
+    """Frame-0 initialization (Tracking::init, Tracking.cc:42-97): pose = I,
+    back-project every keypoint with valid depth outside detection boxes."""
+    cam = Camera.from_config(cfg.camera)
+    kp = orb_ops.extract_orb(frame.left, cfg.orb)
+    st = stereo_ops.sparse_disparity(frame.left, frame.right, kp.uv, kp.valid, cam, cfg.stereo)
+
+    in_box = epi_ops.in_box_mask(kp.uv, frame.boxes, frame.boxes_valid, cfg.matcher.box_margin_init)
+    create = kp.valid & st.valid & ~in_box
+
+    T_cw = jnp.eye(4, dtype=jnp.float32)
+    Xc = backproject(cam, kp.uv, st.depth)
+    Xw = Xc  # T_wc = I at init
+
+    K = cfg.orb.max_keypoints
+    W = cfg.window.window_frames
+    slots = _region_slots(0, jnp.asarray(0), K, W)
+    new_state = state._replace(
+        frame_idx=jnp.asarray(0, jnp.int32),
+        T_cw=T_cw,
+        velocity=jnp.eye(4, dtype=jnp.float32),
+        last_uv=kp.uv,
+        last_desc=kp.desc,
+        last_valid=kp.valid,
+        map_Xw=state.map_Xw.at[slots].set(Xw),
+        map_desc=state.map_desc.at[slots].set(kp.desc),
+        map_desc_pm1=state.map_desc_pm1.at[slots].set(hamming.unpack_descriptors_pm1(kp.desc)),
+        map_valid=state.map_valid.at[slots].set(create),
+        map_bad=state.map_bad.at[slots].set(False),
+        map_create_id=state.map_create_id.at[slots].set(jnp.where(create, 0, -100)),
+    )
+    n = jnp.sum(create)
+    zero = jnp.asarray(0, jnp.int32)
+    return new_state, TrackOutputs(
+        T_cw=T_cw, T_wc=jnp.eye(4, dtype=jnp.float32),
+        n_keypoints=jnp.sum(kp.valid), n_stereo=jnp.sum(st.valid),
+        n_matches_last=zero, n_matches_map=zero, n_pnp_inliers=zero,
+        n_ba_inliers=zero, n_new_points=n, n_culled_dynamic=zero,
+        pnp_ok=jnp.asarray(True),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState, TrackOutputs]:
+    cam = Camera.from_config(cfg.camera)
+    K = cfg.orb.max_keypoints
+    W = cfg.window.window_frames
+    t = state.frame_idx + 1  # index of the frame being processed
+
+    # ---- 1+2. frontend -----------------------------------------------------
+    kp = orb_ops.extract_orb(frame.left, cfg.orb)
+    st = stereo_ops.sparse_disparity(frame.left, frame.right, kp.uv, kp.valid, cam, cfg.stereo)
+
+    age_ok = state.map_create_id > t - W
+    live = state.map_valid & ~state.map_bad & age_ok
+
+    # ---- 3. last-frame matching (gate < 15) --------------------------------
+    last_slots = _region_slots(t, t - 1, K, W)
+    last_has_mp = state.last_valid & live[last_slots]
+    dist_last = hamming.hamming_distance_matrix(state.last_desc, kp.desc)
+    b_idx, b_dist, _ = hamming.masked_best_match(dist_last, last_has_mp, kp.valid)
+    accept3 = b_dist < cfg.matcher.last_frame_max_dist
+    m3, q3 = _resolve_matches(last_has_mp, b_idx, b_dist, accept3, K)
+    # per-cur-kp slot of the matched map point
+    slot3 = last_slots[q3]
+
+    # ---- 4. semantic dynamic culling ---------------------------------------
+    matched_uv_last = state.last_uv[q3]
+    in_box_cur = epi_ops.in_box_mask(kp.uv, frame.boxes, frame.boxes_valid, cfg.matcher.box_margin_match)
+    background = m3 & ~in_box_cur
+    F = epi_ops.fit_fundamental(matched_uv_last, kp.uv, background.astype(jnp.float32))
+    dd = epi_ops.epipolar_distance(F, matched_uv_last, kp.uv)
+    dynamic = m3 & in_box_cur & (dd > cfg.matcher.epipolar_threshold) if cfg.use_semantics else jnp.zeros_like(m3)
+    n_culled = jnp.sum(dynamic)
+    # poison the map point and drop the match (pnpmatch.cc:141); scatter-max
+    # ORs the dynamic verdicts into the bad bitmask (duplicate slots safe)
+    map_bad = state.map_bad.at[slot3].max(dynamic)
+    m3 = m3 & ~dynamic
+
+    # ---- 5. local-map matching (gate < 30, ratio > 2) ----------------------
+    # regions older than the last frame (the last frame's own points were
+    # already candidates in stage 3)
+    slot_ids = jnp.arange(state.map_valid.shape[0])
+    last_region = jnp.mod(t - 1, W)
+    region_of_slot = slot_ids // K
+    in_last_region = region_of_slot == last_region
+    map_candidates = live & ~in_last_region & ~map_bad
+    cur_free = kp.valid & ~m3
+    if cfg.use_local_map:
+        dist_map = hamming.hamming_distance_matrix(state.map_desc, kp.desc)
+        mb_idx, mb_dist, mb_second = hamming.masked_best_match(dist_map, map_candidates, cur_free)
+        accept5 = (mb_dist < cfg.matcher.local_map_max_dist) & (
+            mb_second.astype(jnp.float32) > cfg.matcher.local_map_ratio * mb_dist.astype(jnp.float32)
+        )
+        m5, q5 = _resolve_matches(map_candidates, mb_idx, mb_dist, accept5, K)
+        m5 = m5 & ~m3
+    else:
+        m5 = jnp.zeros_like(m3)
+        q5 = jnp.zeros((K,), jnp.int32)
+    slot5 = q5
+
+    # ---- 6. pose estimation -------------------------------------------------
+    mp_slot = jnp.where(m3, slot3, slot5)
+    has_obs = m3 | m5
+    obs_Xw = state.map_Xw[mp_slot]
+    T_pred = state.velocity @ state.T_cw
+    pnp = pnp_ops.ransac_pnp(
+        obs_Xw, kp.uv, has_obs, cam, cfg.pnp,
+        key=jax.random.fold_in(jax.random.PRNGKey(cfg.pnp.seed), t),
+        T_seed=T_pred,
+    )
+    ba = ba_ops.motion_only_ba(pnp.T_cw, obs_Xw, kp.uv, has_obs, cam, cfg.ba)
+    # guard: if PnP+BA failed (too few inliers), fall back to the motion model
+    ok = pnp.ok
+    T_cw = jnp.where(ok, ba.T_cw, T_pred)
+
+    # ---- 7. map maintenance -------------------------------------------------
+    in_box_create = epi_ops.in_box_mask(kp.uv, frame.boxes, frame.boxes_valid, cfg.matcher.box_margin_init)
+    create = kp.valid & st.valid & ~has_obs & ~in_box_create
+    T_wc = lie.T_inv(T_cw)
+    Xc = backproject(cam, kp.uv, st.depth)
+    Xw_new = lie.transform_points(T_wc, Xc[None])[0]
+
+    slots_t = _region_slots(t, t, K, W)
+    # every current keypoint's attached map point lands in region t:
+    # matched -> copy of the matched slot (original create_id preserved),
+    # created -> fresh entry, else -> invalid slot
+    src_Xw = jnp.where(has_obs[:, None], state.map_Xw[mp_slot], Xw_new)
+    src_desc = jnp.where(has_obs[:, None], state.map_desc[mp_slot], kp.desc)
+    src_pm1 = jnp.where(
+        has_obs[:, None], state.map_desc_pm1[mp_slot], hamming.unpack_descriptors_pm1(kp.desc)
+    )
+    src_create = jnp.where(has_obs, state.map_create_id[mp_slot], t)
+    src_valid = has_obs | create
+    src_bad = jnp.where(has_obs, map_bad[mp_slot], False)
+
+    velocity = T_cw @ lie.T_inv(state.T_cw)
+
+    new_state = state._replace(
+        frame_idx=t,
+        T_cw=T_cw,
+        velocity=velocity,
+        last_uv=kp.uv,
+        last_desc=kp.desc,
+        last_valid=kp.valid,
+        map_Xw=state.map_Xw.at[slots_t].set(src_Xw),
+        map_desc=state.map_desc.at[slots_t].set(src_desc),
+        map_desc_pm1=state.map_desc_pm1.at[slots_t].set(src_pm1),
+        map_valid=state.map_valid.at[slots_t].set(src_valid),
+        map_bad=map_bad.at[slots_t].set(src_bad),
+        map_create_id=state.map_create_id.at[slots_t].set(jnp.where(src_valid, src_create, -100)),
+    )
+    return new_state, TrackOutputs(
+        T_cw=T_cw,
+        T_wc=T_wc,
+        n_keypoints=jnp.sum(kp.valid),
+        n_stereo=jnp.sum(st.valid),
+        n_matches_last=jnp.sum(m3),
+        n_matches_map=jnp.sum(m5),
+        n_pnp_inliers=pnp.n_inliers,
+        n_ba_inliers=jnp.sum(ba.inlier_mask),
+        n_new_points=jnp.sum(create),
+        n_culled_dynamic=n_culled,
+        pnp_ok=ok,
+    )
+
+
+def make_tracker(cfg: VOConfig):
+    """Returns (state0, step) where step(state, frame) dispatches init/track."""
+    state0 = init_state(cfg)
+
+    def step(state: VOState, frame: FrameInput):
+        return jax.lax.cond(
+            state.frame_idx < 0,
+            lambda s, f: init_step(s, f, cfg),
+            lambda s, f: track_step(s, f, cfg),
+            state, frame,
+        )
+
+    return state0, step

@@ -96,10 +96,15 @@ def ransac_pnp(
     cfg: PnPConfig,
     key: jax.Array | None = None,
     refine_cfg: BAConfig | None = None,
+    T_seed: jax.Array | None = None,
 ) -> PnPResult:
     """Estimate T_cw from (K, 3) world points and (K, 2) pixel observations.
 
     All shapes static; invalid correspondences are masked throughout.
+    ``T_seed`` (optional 4x4) injects a motion-model prediction as hypothesis
+    0 — the constant-velocity seeding the reference computes but leaves
+    commented out (Tracking.cc:99-106, pnpmatch.cc:53), resurrected here
+    because it costs nothing in the batched design.
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -115,6 +120,8 @@ def ransac_pnp(
     Xs = X_w[idx]                                     # (B, S, 3)
     xs = xn[idx]                                      # (B, S, 2)
     Ps = jax.vmap(_dlt_pose)(Xs, xs)                  # (B, 3, 4)
+    if T_seed is not None:
+        Ps = Ps.at[0].set(T_seed[:3, :])
 
     proj, z = jax.vmap(_project_P, in_axes=(0, None))(Ps, X_w)  # (B, K, 2), (B, K)
     # reprojection error in pixels
