@@ -1,0 +1,131 @@
+"""Sequence driver — the reference's main.cpp per-frame loop, TPU-shaped.
+
+Responsibilities (cf. main.cpp:100-208): load frames, obtain detection boxes
+(offline files or the online YOLO head — here a jitted call, not a thread),
+run the tracking step, append both trajectory formats, report median/mean
+per-frame time.  Host IO (decode, trajectory writes) stays off the device
+path; frame decode is overlapped with device compute via a background
+prefetch thread (the native C++ loader can replace it).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_semantic_vo_tpu.core.config import VOConfig
+from stereo_semantic_vo_tpu.engine.state import init_state
+from stereo_semantic_vo_tpu.engine.tracker import FrameInput, init_step, track_step
+from stereo_semantic_vo_tpu.engine.trajectory import TrajectoryWriter
+
+
+def _prefetch(iterator: Iterable, depth: int = 2):
+    """Run an iterator in a daemon thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
+class VOPipeline:
+    def __init__(
+        self,
+        cfg: VOConfig,
+        detector: Any | None = None,
+        out_dir: str | None = None,
+        write_trajectory: bool = True,
+    ):
+        self.cfg = cfg
+        self.detector = detector
+        self.state = init_state(cfg)
+        kitti_path = tum_path = None
+        if write_trajectory and out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            kitti_path = os.path.join(out_dir, "cameratrajectory_kitti.txt")
+            tum_path = os.path.join(out_dir, "cameratrajectory_tum.txt")
+        self.writer = TrajectoryWriter(kitti_path, tum_path)
+        self.frame_times: list[float] = []
+        self.outputs: list[Any] = []
+
+    def _detect(self, left: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        det = self.detector.detect(jnp.asarray(left) / 255.0)
+        nb = self.cfg.semantic.max_boxes
+        boxes = np.zeros((nb, 4), np.float32)
+        valid = np.zeros(nb, bool)
+        b = np.asarray(det.boxes)[:nb]
+        v = np.asarray(det.valid)[:nb]
+        boxes[: len(b)] = b
+        valid[: len(v)] = v
+        return boxes, valid
+
+    def process_frame(
+        self,
+        left: np.ndarray,
+        right: np.ndarray,
+        boxes: np.ndarray | None,
+        boxes_valid: np.ndarray | None,
+        timestamp: float,
+    ):
+        t0 = time.perf_counter()
+        if boxes is None:
+            if self.detector is not None:
+                boxes, boxes_valid = self._detect(left)
+            else:
+                nb = self.cfg.semantic.max_boxes
+                boxes = np.zeros((nb, 4), np.float32)
+                boxes_valid = np.zeros(nb, bool)
+        frame = FrameInput(
+            left=jnp.asarray(left),
+            right=jnp.asarray(right),
+            boxes=jnp.asarray(boxes),
+            boxes_valid=jnp.asarray(boxes_valid),
+        )
+        if int(self.state.frame_idx) < 0:
+            self.state, out = init_step(self.state, frame, self.cfg)
+        else:
+            self.state, out = track_step(self.state, frame, self.cfg)
+        T_wc = np.asarray(out.T_wc)  # device sync point
+        self.frame_times.append(time.perf_counter() - t0)
+        self.writer.append(T_wc, timestamp)
+        self.outputs.append(jax.tree.map(np.asarray, out))
+        return out
+
+    def run(self, frames: Iterable, prefetch: bool = True) -> dict:
+        """frames yields (idx, left, right, boxes, boxes_valid, timestamp)
+        (io/kitti.iter_frames format). Returns a summary dict."""
+        it = _prefetch(frames) if prefetch else frames
+        for _, left, right, boxes, bv, ts in it:
+            if self.detector is not None:
+                boxes, bv = None, None
+            self.process_frame(left, right, boxes, bv, ts)
+        self.writer.close()
+        times = np.array(self.frame_times[1:]) if len(self.frame_times) > 1 else np.array(
+            self.frame_times
+        )
+        return {
+            "n_frames": len(self.frame_times),
+            "median_s": float(np.median(times)) if len(times) else 0.0,
+            "mean_s": float(np.mean(times)) if len(times) else 0.0,
+            "fps": float(1.0 / np.median(times)) if len(times) else 0.0,
+            "positions": self.writer.positions(),
+        }
