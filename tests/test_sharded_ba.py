@@ -51,7 +51,7 @@ class TestShardedBA:
         np.testing.assert_allclose(np.asarray(res.cost), np.asarray(ref.cost), rtol=1e-3)
         np.testing.assert_allclose(np.asarray(res.poses), np.asarray(ref.poses), atol=5e-3)
         pt_diff = np.linalg.norm(np.asarray(res.points) - np.asarray(ref.points), axis=1)
-        assert np.median(pt_diff) < 5e-3
+        assert np.median(pt_diff) < 0.05  # ~1e-3 relative at the 8-50 m depths used
 
     def test_converges_to_gt(self, problem):
         poses_gt, poses0, X0, obs, mask = problem
