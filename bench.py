@@ -1,0 +1,88 @@
+"""Benchmark: full VO tracking step throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: frames/sec of the complete jitted per-frame pipeline (ORB pyramid
+extraction, sparse stereo, Hamming matching vs last frame + local map,
+epipolar dynamic test, 256-hypothesis RANSAC PnP, 10-iteration motion-only
+BA, map maintenance) at KITTI resolution (1241x376), synthetic two-plane
+frames.
+
+Baseline: the reference is a CPU pipeline paced to KITTI's 10 fps with no
+published timings (BASELINE.md); its per-frame cost is dominated by the MSA
+dense disparity solve and serial Hamming loops.  ``vs_baseline`` is
+fps / 30.0 — i.e. progress against the BASELINE.json target of >= 3x the
+reference's (10 fps real-time) frame rate per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_semantic_vo_tpu.core.config import VOConfig
+    from stereo_semantic_vo_tpu.engine.state import init_state
+    from stereo_semantic_vo_tpu.engine.tracker import FrameInput, init_step, track_step
+
+    cfg = VOConfig.kitti("00")
+    H, W = cfg.camera.height, cfg.camera.width
+    nb = cfg.semantic.max_boxes
+
+    # synthetic two-plane KITTI-sized stereo frames with lateral camera motion
+    rng = np.random.RandomState(0)
+    tex = rng.uniform(0, 255, (H, W + 256)).astype(np.float32)
+    d1, d2 = 16, 32
+
+    def frame_at(t: int) -> FrameInput:
+        s1, s2 = 2 * t, 4 * t
+        left = np.empty((H, W), np.float32)
+        right = np.empty((H, W), np.float32)
+        left[: H // 2] = tex[: H // 2, s1 : s1 + W]
+        left[H // 2 :] = tex[H // 2 :, s2 : s2 + W]
+        right[: H // 2] = tex[: H // 2, s1 + d1 : s1 + d1 + W]
+        right[H // 2 :] = tex[H // 2 :, s2 + d2 : s2 + d2 + W]
+        return FrameInput(
+            left=jnp.asarray(left),
+            right=jnp.asarray(right),
+            boxes=jnp.zeros((nb, 4), jnp.float32),
+            boxes_valid=jnp.zeros((nb,), bool),
+        )
+
+    state = init_state(cfg)
+    state, _ = init_step(state, frame_at(0), cfg)
+
+    # warmup / compile
+    frames = [frame_at(t) for t in range(1, 12)]
+    state, out = track_step(state, frames[0], cfg)
+    out.T_cw.block_until_ready()
+
+    times = []
+    for f in frames[1:]:
+        t0 = time.perf_counter()
+        state, out = track_step(state, f, cfg)
+        out.T_cw.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    median_s = float(np.median(times))
+    fps = 1.0 / median_s
+    print(
+        json.dumps(
+            {
+                "metric": "vo_track_step_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s per chip (KITTI 1241x376, full pipeline)",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Dense disparity engine: cost volume + semi-global scanline aggregation.
+
+The reference's dense engine is MSA (Thirdparty/MB/MSA.cpp): a minimum-
+spanning-arborescence segmentation + Kruskal merge + two-pass tree DP with
+exponential similarity weights, run three times per frame (right base, left
+base, refine — solve :1132-1169).  The tree sweeps are sequential over an
+irregular spanning tree — hostile to any SIMD/systolic hardware (SURVEY.md §7
+"Hard parts").  The TPU-native replacement keeps MSA's *cost definition*
+(truncated color + truncated gradient mix, MSA.cpp:78-108) and swaps the
+aggregator for semi-global matching: 4 directional scanline DPs where each
+``lax.scan`` step updates an entire row/column with the 64-wide disparity
+axis vectorized on the VPU — equivalent smoothing power, compiler-friendly
+control flow.
+
+Pipeline (mirrors solve()'s structure): cost volume -> 4-path SGM -> WTA +
+sub-pixel -> left/right consistency check (LRcheck, MSA.cpp:1027-1105) ->
+3x3 median (ctmf replacement).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_semantic_vo_tpu.core.config import StereoConfig
+from stereo_semantic_vo_tpu.kernels.median import median3x3
+
+
+class DenseDisparity(NamedTuple):
+    disparity: jax.Array  # (H, W) float32, -1 where invalid
+    valid: jax.Array      # (H, W) bool (passed LR check)
+
+
+def _xgrad(img: jax.Array) -> jax.Array:
+    return (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1)) * 0.5
+
+
+def cost_volume(
+    left: jax.Array, right: jax.Array, cfg: StereoConfig, right_base: bool = False
+) -> jax.Array:
+    """(H, W, D) matching cost.  cost(x, d) compares left(x) with right(x-d)
+    (or right(x) with left(x+d) when ``right_base``), mixing truncated
+    absolute intensity and x-gradient differences with the MSA weights."""
+    D = cfg.max_disparity
+    gl, gr = _xgrad(left), _xgrad(right)
+
+    def shift(img, d):
+        if right_base:
+            return jnp.roll(img, -d, axis=1)   # left sampled at x+d
+        return jnp.roll(img, d, axis=1)        # right sampled at x-d
+
+    base_i, base_g = (right, gr) if right_base else (left, gl)
+    match_i, match_g = (left, gl) if right_base else (right, gr)
+
+    costs = []
+    for d in range(D):
+        ci = jnp.minimum(jnp.abs(base_i - shift(match_i, d)), cfg.color_trunc)
+        cg = jnp.minimum(jnp.abs(base_g - shift(match_g, d)), cfg.grad_trunc)
+        costs.append(cfg.color_weight * ci + cfg.grad_weight * cg)
+    vol = jnp.stack(costs, axis=-1)  # (H, W, D)
+    # box-filter aggregation over the matching window
+    r = cfg.block_radius
+    k = 2 * r + 1
+    vol = jax.lax.reduce_window(
+        vol, 0.0, jax.lax.add, (k, k, 1), (1, 1, 1), "SAME"
+    ) / (k * k)
+    return vol
+
+
+def _sgm_pass(vol: jax.Array, p1: float, p2: float, axis: int, reverse: bool) -> jax.Array:
+    """One directional SGM sweep.  vol: (H, W, D); scan along ``axis`` with the
+    whole cross-section (rows or columns) x D updated per step."""
+    D = vol.shape[-1]
+    moved = jnp.moveaxis(vol, axis, 0)  # (S, X, D): scan over S
+    big = jnp.float32(1e9)
+
+    def step(prev, c):
+        # prev: (X, D) aggregated cost of previous position
+        prev_min = jnp.min(prev, axis=-1, keepdims=True)
+        shift_m = jnp.concatenate([jnp.full_like(prev[:, :1], big), prev[:, :-1]], axis=1)
+        shift_p = jnp.concatenate([prev[:, 1:], jnp.full_like(prev[:, :1], big)], axis=1)
+        best = jnp.minimum(
+            jnp.minimum(prev, prev_min + p2),
+            jnp.minimum(shift_m + p1, shift_p + p1),
+        )
+        out = c + best - prev_min
+        return out, out
+
+    init = moved[0]
+    if reverse:
+        _, agg = jax.lax.scan(step, init, moved[1:][::-1])
+        agg = jnp.concatenate([agg[::-1], init[None]], axis=0)
+    else:
+        _, agg = jax.lax.scan(step, init, moved[1:])
+        agg = jnp.concatenate([init[None], agg], axis=0)
+    return jnp.moveaxis(agg, 0, axis)
+
+
+def sgm_aggregate(vol: jax.Array, cfg: StereoConfig) -> jax.Array:
+    """4-path SGM (horizontal both ways, vertical both ways)."""
+    acc = _sgm_pass(vol, cfg.p1, cfg.p2, 1, False)
+    acc = acc + _sgm_pass(vol, cfg.p1, cfg.p2, 1, True)
+    acc = acc + _sgm_pass(vol, cfg.p1, cfg.p2, 0, False)
+    acc = acc + _sgm_pass(vol, cfg.p1, cfg.p2, 0, True)
+    return acc
+
+
+def _wta_subpixel(agg: jax.Array, min_disp: float) -> jax.Array:
+    """(H, W, D) -> (H, W) winner-take-all disparity with parabola refinement."""
+    D = agg.shape[-1]
+    best = jnp.argmin(agg, axis=-1)
+    c0 = jnp.take_along_axis(agg, best[..., None], axis=-1)[..., 0]
+    bm = jnp.clip(best - 1, 0, D - 1)
+    bp = jnp.clip(best + 1, 0, D - 1)
+    cm = jnp.take_along_axis(agg, bm[..., None], axis=-1)[..., 0]
+    cp = jnp.take_along_axis(agg, bp[..., None], axis=-1)[..., 0]
+    denom = cm - 2 * c0 + cp
+    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (cm - cp) / denom, 0.0)
+    return best.astype(jnp.float32) + jnp.clip(delta, -0.5, 0.5)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def dense_disparity(left: jax.Array, right: jax.Array, cfg: StereoConfig) -> DenseDisparity:
+    """Full dense pipeline with LR consistency.  left/right: (H, W) float32."""
+    vol_l = cost_volume(left, right, cfg, right_base=False)
+    agg_l = sgm_aggregate(vol_l, cfg)
+    disp_l = _wta_subpixel(agg_l, cfg.min_disparity)
+
+    vol_r = cost_volume(left, right, cfg, right_base=True)
+    agg_r = sgm_aggregate(vol_r, cfg)
+    disp_r = _wta_subpixel(agg_r, cfg.min_disparity)
+
+    # LR check: d_l(x) vs d_r(x - d_l(x))  (MSA LRcheck semantics)
+    H, W = left.shape
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    xr = jnp.clip(xs - jnp.round(disp_l).astype(jnp.int32), 0, W - 1)
+    d_r_at = jnp.take_along_axis(disp_r, xr, axis=1)
+    consistent = jnp.abs(disp_l - d_r_at) <= cfg.lr_consistency_px
+
+    # disparity-range border: the first D columns cannot see their match
+    in_range = xs - disp_l >= 0
+    valid = consistent & in_range & (disp_l > cfg.min_disparity)
+
+    disp = median3x3(jnp.where(valid, disp_l, 0.0))
+    disp = jnp.where(valid, disp, -1.0)
+    return DenseDisparity(disparity=disp, valid=valid)

@@ -1,0 +1,83 @@
+import jax.numpy as jnp
+import numpy as np
+from scipy.signal import convolve2d
+
+from stereo_semantic_vo_tpu.core.config import StereoConfig
+from stereo_semantic_vo_tpu.kernels.median import median3x3, median5x5
+from stereo_semantic_vo_tpu.ops.dense_stereo import dense_disparity
+
+CFG = StereoConfig(max_disparity=48)
+
+
+def textured(seed, H=120, W=240):
+    rng = np.random.RandomState(seed)
+    img = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    return convolve2d(img, np.ones((3, 3)) / 9.0, mode="same").astype(np.float32)
+
+
+class TestMedian:
+    def test_median3_constant(self):
+        img = jnp.full((16, 16), 7.0)
+        np.testing.assert_allclose(median3x3(img), img)
+
+    def test_median3_impulse_removed(self):
+        img = np.zeros((16, 16), np.float32)
+        img[8, 8] = 100.0
+        out = median3x3(jnp.asarray(img))
+        assert float(out[8, 8]) == 0.0
+
+    def test_median5_impulse_removed(self):
+        img = np.zeros((16, 16), np.float32)
+        img[8, 8] = 100.0
+        img[8, 9] = 100.0
+        out = median5x5(jnp.asarray(img))
+        assert float(out[8, 8]) == 0.0
+
+    def test_median_matches_scipy(self):
+        from scipy.ndimage import median_filter
+
+        img = textured(5, 32, 32)
+        ours = np.asarray(median3x3(jnp.asarray(img)))
+        ref = median_filter(img, size=3, mode="nearest")
+        np.testing.assert_allclose(ours[1:-1, 1:-1], ref[1:-1, 1:-1], atol=1e-5)
+
+
+class TestDenseDisparity:
+    def test_constant_shift(self):
+        d_true = 12
+        left = textured(0)
+        right = np.roll(left, -d_true, axis=1)
+        out = dense_disparity(jnp.asarray(left), jnp.asarray(right), CFG)
+        disp = np.asarray(out.disparity)
+        valid = np.asarray(out.valid)
+        # interior region (outside disparity border and wrap-around edge)
+        inner = np.zeros_like(valid)
+        inner[5:-5, 60:-20] = True
+        ok = valid & inner
+        assert ok.mean() > 0.25
+        err = np.abs(disp[ok] - d_true)
+        assert np.median(err) < 0.5
+        assert (err < 1.0).mean() > 0.9
+
+    def test_two_plane(self):
+        left = textured(1)
+        H, W = left.shape
+        right = np.empty_like(left)
+        right[: H // 2] = np.roll(left[: H // 2], -8, axis=1)
+        right[H // 2 :] = np.roll(left[H // 2 :], -24, axis=1)
+        out = dense_disparity(jnp.asarray(left), jnp.asarray(right), CFG)
+        disp = np.asarray(out.disparity)
+        valid = np.asarray(out.valid)
+        top = valid[10 : H // 2 - 5, 60:-20]
+        bot = valid[H // 2 + 5 : -10, 60:-20]
+        assert abs(np.median(disp[10 : H // 2 - 5, 60:-20][top]) - 8) < 0.6
+        assert abs(np.median(disp[H // 2 + 5 : -10, 60:-20][bot]) - 24) < 0.6
+
+    def test_invalid_marked(self):
+        left = textured(2)
+        right = np.roll(left, -30, axis=1)
+        out = dense_disparity(jnp.asarray(left), jnp.asarray(right), CFG)
+        disp = np.asarray(out.disparity)
+        valid = np.asarray(out.valid)
+        # invalid pixels carry the -1 sentinel
+        assert (disp[~valid] == -1.0).all()
