@@ -54,10 +54,18 @@ class VOPipeline:
         detector: Any | None = None,
         out_dir: str | None = None,
         write_trajectory: bool = True,
+        local_ba_every: int = 0,
+        ba_mesh=None,
     ):
         self.cfg = cfg
         self.detector = detector
         self.state = init_state(cfg)
+        self.local_ba_every = local_ba_every
+        self.window_ba = None
+        if local_ba_every > 0:
+            from stereo_semantic_vo_tpu.engine.window_ba import WindowBA
+
+            self.window_ba = WindowBA(cfg, mesh=ba_mesh)
         kitti_path = tum_path = None
         if write_trajectory and out_dir is not None:
             os.makedirs(out_dir, exist_ok=True)
@@ -104,6 +112,15 @@ class VOPipeline:
             self.state, out = init_step(self.state, frame, self.cfg)
         else:
             self.state, out = track_step(self.state, frame, self.cfg)
+        if self.window_ba is not None:
+            self.window_ba.push(out)
+            fidx = int(self.state.frame_idx)
+            if self.window_ba.ready() and fidx % self.local_ba_every == 0:
+                self.state, _ = self.window_ba.refine(self.state)
+                out = out._replace(
+                    T_cw=self.state.T_cw,
+                    T_wc=jnp.linalg.inv(self.state.T_cw),
+                )
         T_wc = np.asarray(out.T_wc)  # device sync point
         self.frame_times.append(time.perf_counter() - t0)
         self.writer.append(T_wc, timestamp)

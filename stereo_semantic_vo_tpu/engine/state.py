@@ -42,6 +42,10 @@ class VOState(NamedTuple):
     map_valid: jax.Array     # (M,) slot occupied
     map_bad: jax.Array       # (M,) judged dynamic (epipolar test)
     map_create_id: jax.Array  # (M,) int32 creating frame index
+    map_uid: jax.Array        # (M,) int32 globally-unique landmark id
+                              # (creation frame * K + creating kp index);
+                              # survives the per-frame region copies so
+                              # window BA can group observations by landmark
 
     @property
     def T_wc(self) -> jax.Array:
@@ -67,11 +71,16 @@ def init_state(cfg: VOConfig) -> VOState:
         map_valid=jnp.zeros((M,), bool),
         map_bad=jnp.zeros((M,), bool),
         map_create_id=jnp.full((M,), -100, i32),
+        map_uid=jnp.full((M,), -1, i32),
     )
 
 
 class TrackOutputs(NamedTuple):
-    """Per-frame diagnostics surfaced to the host."""
+    """Per-frame diagnostics + observation bindings surfaced to the host.
+
+    kp_uv/obs_slot/obs_valid expose which map-ring slot each current keypoint
+    observed — the raw material for windowed local BA (engine/window_ba.py).
+    """
 
     T_cw: jax.Array
     T_wc: jax.Array
@@ -84,3 +93,6 @@ class TrackOutputs(NamedTuple):
     n_new_points: jax.Array
     n_culled_dynamic: jax.Array
     pnp_ok: jax.Array
+    kp_uv: jax.Array     # (K, 2) current keypoint pixels
+    obs_uid: jax.Array   # (K,) stable uid of the map point each kp observes (-1 none)
+    obs_valid: jax.Array  # (K,) kp has a bound map point (matched or created)

@@ -103,6 +103,7 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
         map_valid=state.map_valid.at[slots].set(create),
         map_bad=state.map_bad.at[slots].set(False),
         map_create_id=state.map_create_id.at[slots].set(jnp.where(create, 0, -100)),
+        map_uid=state.map_uid.at[slots].set(jnp.where(create, jnp.arange(K), -1)),
     )
     n = jnp.sum(create)
     zero = jnp.asarray(0, jnp.int32)
@@ -112,6 +113,7 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
         n_matches_last=zero, n_matches_map=zero, n_pnp_inliers=zero,
         n_ba_inliers=zero, n_new_points=n, n_culled_dynamic=zero,
         pnp_ok=jnp.asarray(True),
+        kp_uv=kp.uv, obs_uid=jnp.where(create, jnp.arange(K), -1), obs_valid=create,
     )
 
 
@@ -206,6 +208,7 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
         has_obs[:, None], state.map_desc_pm1[mp_slot], hamming.unpack_descriptors_pm1(kp.desc)
     )
     src_create = jnp.where(has_obs, state.map_create_id[mp_slot], t)
+    src_uid = jnp.where(has_obs, state.map_uid[mp_slot], t * K + jnp.arange(K))
     src_valid = has_obs | create
     src_bad = jnp.where(has_obs, map_bad[mp_slot], False)
 
@@ -224,6 +227,7 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
         map_valid=state.map_valid.at[slots_t].set(src_valid),
         map_bad=map_bad.at[slots_t].set(src_bad),
         map_create_id=state.map_create_id.at[slots_t].set(jnp.where(src_valid, src_create, -100)),
+        map_uid=state.map_uid.at[slots_t].set(jnp.where(src_valid, src_uid, -1)),
     )
     return new_state, TrackOutputs(
         T_cw=T_cw,
@@ -237,6 +241,9 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
         n_new_points=jnp.sum(create),
         n_culled_dynamic=n_culled,
         pnp_ok=ok,
+        kp_uv=kp.uv,
+        obs_uid=jnp.where(src_valid, src_uid, -1),
+        obs_valid=src_valid,
     )
 
 
