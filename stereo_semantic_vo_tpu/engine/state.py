@@ -31,9 +31,10 @@ class VOState(NamedTuple):
     velocity: jax.Array     # (4, 4) T_cl: last frame <- frame before it
 
     # last processed frame's keypoints
-    last_uv: jax.Array      # (K, 2)
-    last_desc: jax.Array    # (K, 8) uint32
-    last_valid: jax.Array   # (K,)
+    last_uv: jax.Array        # (K, 2)
+    last_desc: jax.Array      # (K, 8) uint32
+    last_desc_pm1: jax.Array  # (K, 256) int8 +-1 — MXU matching form
+    last_valid: jax.Array     # (K,)
 
     # sliding-window local map ring buffer (M = window * K slots)
     map_Xw: jax.Array        # (M, 3) world positions
@@ -64,6 +65,7 @@ def init_state(cfg: VOConfig) -> VOState:
         velocity=jnp.eye(4, dtype=f32),
         last_uv=jnp.zeros((K, 2), f32),
         last_desc=jnp.zeros((K, 8), jnp.uint32),
+        last_desc_pm1=jnp.zeros((K, 256), jnp.int8),
         last_valid=jnp.zeros((K,), bool),
         map_Xw=jnp.zeros((M, 3), f32),
         map_desc=jnp.zeros((M, 8), jnp.uint32),

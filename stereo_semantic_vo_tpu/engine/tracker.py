@@ -90,16 +90,18 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
     K = cfg.orb.max_keypoints
     W = cfg.window.window_frames
     slots = _region_slots(0, jnp.asarray(0), K, W)
+    kp_pm1 = hamming.unpack_descriptors_pm1(kp.desc)
     new_state = state._replace(
         frame_idx=jnp.asarray(0, jnp.int32),
         T_cw=T_cw,
         velocity=jnp.eye(4, dtype=jnp.float32),
         last_uv=kp.uv,
         last_desc=kp.desc,
+        last_desc_pm1=kp_pm1,
         last_valid=kp.valid,
         map_Xw=state.map_Xw.at[slots].set(Xw),
         map_desc=state.map_desc.at[slots].set(kp.desc),
-        map_desc_pm1=state.map_desc_pm1.at[slots].set(hamming.unpack_descriptors_pm1(kp.desc)),
+        map_desc_pm1=state.map_desc_pm1.at[slots].set(kp_pm1),
         map_valid=state.map_valid.at[slots].set(create),
         map_bad=state.map_bad.at[slots].set(False),
         map_create_id=state.map_create_id.at[slots].set(jnp.where(create, 0, -100)),
@@ -132,9 +134,11 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     live = state.map_valid & ~state.map_bad & age_ok
 
     # ---- 3. last-frame matching (gate < 15) --------------------------------
+    # MXU form: hamming = (256 - <+-1 descs>) / 2 as one int8 matmul
+    kp_pm1 = hamming.unpack_descriptors_pm1(kp.desc)
     last_slots = _region_slots(t, t - 1, K, W)
     last_has_mp = state.last_valid & live[last_slots]
-    dist_last = hamming.hamming_distance_matrix(state.last_desc, kp.desc)
+    dist_last = hamming.hamming_distance_matrix_mxu(state.last_desc_pm1, kp_pm1)
     b_idx, b_dist, _ = hamming.masked_best_match(dist_last, last_has_mp, kp.valid)
     accept3 = b_dist < cfg.matcher.last_frame_max_dist
     m3, q3 = _resolve_matches(last_has_mp, b_idx, b_dist, accept3, K)
@@ -164,7 +168,7 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     map_candidates = live & ~in_last_region & ~map_bad
     cur_free = kp.valid & ~m3
     if cfg.use_local_map:
-        dist_map = hamming.hamming_distance_matrix(state.map_desc, kp.desc)
+        dist_map = hamming.hamming_distance_matrix_mxu(state.map_desc_pm1, kp_pm1)
         mb_idx, mb_dist, mb_second = hamming.masked_best_match(dist_map, map_candidates, cur_free)
         accept5 = (mb_dist < cfg.matcher.local_map_max_dist) & (
             mb_second.astype(jnp.float32) > cfg.matcher.local_map_ratio * mb_dist.astype(jnp.float32)
@@ -205,7 +209,7 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     src_Xw = jnp.where(has_obs[:, None], state.map_Xw[mp_slot], Xw_new)
     src_desc = jnp.where(has_obs[:, None], state.map_desc[mp_slot], kp.desc)
     src_pm1 = jnp.where(
-        has_obs[:, None], state.map_desc_pm1[mp_slot], hamming.unpack_descriptors_pm1(kp.desc)
+        has_obs[:, None], state.map_desc_pm1[mp_slot], kp_pm1
     )
     src_create = jnp.where(has_obs, state.map_create_id[mp_slot], t)
     src_uid = jnp.where(has_obs, state.map_uid[mp_slot], t * K + jnp.arange(K))
@@ -220,6 +224,7 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
         velocity=velocity,
         last_uv=kp.uv,
         last_desc=kp.desc,
+        last_desc_pm1=kp_pm1,
         last_valid=kp.valid,
         map_Xw=state.map_Xw.at[slots_t].set(src_Xw),
         map_desc=state.map_desc.at[slots_t].set(src_desc),

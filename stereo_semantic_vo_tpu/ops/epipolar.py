@@ -51,8 +51,9 @@ def fit_fundamental(
     )  # (K, 9)
     Aw = A * weight[:, None]
     M = Aw.T @ A  # (9, 9)
-    _, V = jnp.linalg.eigh(M)
-    f = V[:, 0]
+    from stereo_semantic_vo_tpu.ops.pnp import smallest_eigvec
+
+    f = smallest_eigvec(M)
     F = f.reshape(3, 3)
     # rank-2 projection
     U, s, Vt = jnp.linalg.svd(F)

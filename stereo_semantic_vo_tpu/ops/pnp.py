@@ -39,12 +39,33 @@ def _sample_indices(key: jax.Array, valid: jax.Array, B: int, S: int) -> jax.Arr
     return idx
 
 
+def smallest_eigvec(M: jax.Array, iters: int = 8) -> jax.Array:
+    """Eigenvector of the smallest eigenvalue of a small PSD matrix by
+    shifted inverse iteration (one Cholesky + ``iters`` triangular solves).
+
+    TPU-friendly replacement for full eigh: batched 12x12 QR-iteration eigh
+    dominated the RANSAC hypothesis batch (~9 ms); this runs in a fraction of
+    that and vmaps cleanly.
+    """
+    n = M.shape[-1]
+    shift = 1e-6 * jnp.trace(M) / n + 1e-12
+    A = M + shift * jnp.eye(n, dtype=M.dtype)
+    cho = jax.scipy.linalg.cho_factor(A)
+    x = jnp.full((n,), 1.0 / jnp.sqrt(jnp.float32(n)), M.dtype)
+
+    def body(x, _):
+        y = jax.scipy.linalg.cho_solve(cho, x)
+        return y / jnp.maximum(jnp.linalg.norm(y), 1e-30), None
+
+    x, _ = jax.lax.scan(body, x, None, length=iters)
+    return x
+
+
 def _dlt_pose(Xs: jax.Array, xs: jax.Array) -> jax.Array:
     """Minimal DLT: S world points (S, 3) + normalized image points (S, 2)
     -> 3x4 projective pose [M | t], sign-fixed so sample depths are positive.
 
-    Solved as the smallest eigenvector of A^T A (12x12 symmetric eigh — far
-    cheaper than SVD of A and batches perfectly under vmap).
+    Solved as the A^T A nullspace via :func:`smallest_eigvec`.
     """
     S = Xs.shape[0]
     ones = jnp.ones((S, 1), Xs.dtype)
@@ -56,8 +77,7 @@ def _dlt_pose(Xs: jax.Array, xs: jax.Array) -> jax.Array:
     rows_v = jnp.concatenate([zeros, Xh, -v * Xh], axis=1)
     A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2S, 12)
     M = A.T @ A
-    w, V = jnp.linalg.eigh(M)
-    p = V[:, 0]  # eigenvector of the smallest eigenvalue
+    p = smallest_eigvec(M)
     P = p.reshape(3, 4)
     # fix sign: majority of sample depths positive
     depth = (Xh @ P[2])[..., None]

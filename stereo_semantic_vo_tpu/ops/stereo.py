@@ -55,44 +55,35 @@ def sparse_disparity(
     D = cfg.max_disparity
     r = cfg.block_radius
     P = 2 * r + 1
-    Ws = D + 2 * r  # strip width covers disparities [0, D)
 
+    # Whole-image formulation (TPU-friendly): D shifted truncated-difference
+    # maps, one box-filter over the (H, W, D) volume — pure fused VPU work and
+    # a single (P, P, 1) reduce_window — then a tiny (K, D) gather at the
+    # keypoints.  Orders of magnitude fewer gathers than per-keypoint strips.
     gl = _xgrad(left)
     gr = _xgrad(right)
 
+    def cost_map(d):
+        rs = jnp.roll(right, d, axis=1)
+        gs = jnp.roll(gr, d, axis=1)
+        ci = jnp.minimum(jnp.abs(left - rs), cfg.color_trunc)
+        cg = jnp.minimum(jnp.abs(gl - gs), cfg.grad_trunc)
+        return cfg.color_weight * ci + cfg.grad_weight * cg
+
+    vol = jnp.stack([cost_map(d) for d in range(D)], axis=-1)  # (H, W, D)
+    vol = jax.lax.reduce_window(
+        vol, 0.0, jax.lax.add, (P, P, 1), (1, 1, 1), "SAME"
+    )
+
     x = jnp.round(uv[:, 0]).astype(jnp.int32)
     y = jnp.round(uv[:, 1]).astype(jnp.int32)
+    xc = jnp.clip(x, 0, W - 1)
+    yc = jnp.clip(y, 0, H - 1)
+    costs = vol[yc, xc]  # (K, D)
 
-    # left patch window rows y-r..y+r, cols x-r..x+r
-    y0 = jnp.clip(y - r, 0, H - P)
-    xl0 = jnp.clip(x - r, 0, W - P)
-    # right strip cols x-(D-1)-r .. x+r   (start offset for disparity d: D-1-d)
-    xr0_raw = x - (D - 1) - r
-    xr0 = jnp.clip(xr0_raw, 0, W - Ws)
-    shift = xr0 - xr0_raw  # >0 where the strip was clamped at the image edge
-
-    def slice2(img, ys, xs, h, w):
-        return jax.lax.dynamic_slice(img, (ys, xs), (h, w))
-
-    lp = jax.vmap(lambda ys, xs: slice2(left, ys, xs, P, P))(y0, xl0)
-    lg = jax.vmap(lambda ys, xs: slice2(gl, ys, xs, P, P))(y0, xl0)
-    rp = jax.vmap(lambda ys, xs: slice2(right, ys, xs, P, Ws))(y0, xr0)
-    rg = jax.vmap(lambda ys, xs: slice2(gr, ys, xs, P, Ws))(y0, xr0)
-
-    def cost_at(d):
-        s = D - 1 - d  # strip column offset of this disparity's window start
-        rp_d = jax.lax.dynamic_slice_in_dim(rp, s, P, axis=2)
-        rg_d = jax.lax.dynamic_slice_in_dim(rg, s, P, axis=2)
-        c_int = jnp.minimum(jnp.abs(lp - rp_d), cfg.color_trunc)
-        c_grd = jnp.minimum(jnp.abs(lg - rg_d), cfg.grad_trunc)
-        return jnp.sum(cfg.color_weight * c_int + cfg.grad_weight * c_grd, axis=(1, 2))
-
-    costs = jnp.stack([cost_at(d) for d in range(D)], axis=1)  # (K, D)
-
-    # a disparity is addressable only if its window stayed inside the image:
-    # window start (strip coords) = D-1-d must be >= shift
+    # a disparity is addressable only if the window stays inside the image
     d_idx = jnp.arange(D)[None, :]
-    addressable = (D - 1 - d_idx) >= shift[:, None]
+    addressable = (x[:, None] - d_idx) >= r
     big = jnp.float32(1e9)
     costs = jnp.where(addressable, costs, big)
 
