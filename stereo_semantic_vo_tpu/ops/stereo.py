@@ -68,18 +68,17 @@ def sparse_disparity(
         gs = jnp.roll(gr, d, axis=1)
         ci = jnp.minimum(jnp.abs(left - rs), cfg.color_trunc)
         cg = jnp.minimum(jnp.abs(gl - gs), cfg.grad_trunc)
-        return cfg.color_weight * ci + cfg.grad_weight * cg
-
-    vol = jnp.stack([cost_map(d) for d in range(D)], axis=-1)  # (H, W, D)
-    vol = jax.lax.reduce_window(
-        vol, 0.0, jax.lax.add, (P, P, 1), (1, 1, 1), "SAME"
-    )
+        c = cfg.color_weight * ci + cfg.grad_weight * cg
+        # separable PxP box aggregation (2P reads/px instead of P^2)
+        c = jax.lax.reduce_window(c, 0.0, jax.lax.add, (1, P), (1, 1), "SAME")
+        return jax.lax.reduce_window(c, 0.0, jax.lax.add, (P, 1), (1, 1), "SAME")
 
     x = jnp.round(uv[:, 0]).astype(jnp.int32)
     y = jnp.round(uv[:, 1]).astype(jnp.int32)
     xc = jnp.clip(x, 0, W - 1)
     yc = jnp.clip(y, 0, H - 1)
-    costs = vol[yc, xc]  # (K, D)
+    # sample each disparity's aggregated map at the keypoints -> (K, D)
+    costs = jnp.stack([cost_map(d)[yc, xc] for d in range(D)], axis=1)
 
     # a disparity is addressable only if the window stays inside the image
     d_idx = jnp.arange(D)[None, :]
