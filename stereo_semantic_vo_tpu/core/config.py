@@ -95,6 +95,7 @@ class StereoConfig:
     lr_consistency_px: float = 1.0    # LR check tolerance (MSA LRcheck, MSA.cpp:1027)
     uniqueness_ratio: float = 0.95
     min_disparity: float = 0.5        # below this the match is invalid
+    sparse_mode: str = "strips"       # "strips" (gather-heavy) | "volume" (VPU-heavy)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,6 +108,13 @@ class MatcherConfig:
     epipolar_threshold: float = 0.1   # point-to-epiline distance: moving object test (pnpmatch.cc:115)
     box_margin_init: float = 5.0      # detection-box margin when creating points (Tracking.cc:61)
     box_margin_match: float = 10.0    # detection-box margin in 2D-2D matching (pnpmatch.cc:108)
+    backend: str = "popcount"         # "popcount" (XLA XOR+popcount) |
+                                      # "mxu" (int8 matmul) |
+                                      # "pallas" (fused distance+best2 kernel)
+
+    @property
+    def use_mxu(self) -> bool:
+        return self.backend == "mxu"
 
 
 @dataclasses.dataclass(frozen=True)

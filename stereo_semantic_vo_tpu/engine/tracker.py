@@ -90,7 +90,10 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
     K = cfg.orb.max_keypoints
     W = cfg.window.window_frames
     slots = _region_slots(0, jnp.asarray(0), K, W)
-    kp_pm1 = hamming.unpack_descriptors_pm1(kp.desc)
+    if cfg.matcher.use_mxu:
+        kp_pm1 = hamming.unpack_descriptors_pm1(kp.desc)
+    else:
+        kp_pm1 = jnp.zeros((K, 256), jnp.int8)
     new_state = state._replace(
         frame_idx=jnp.asarray(0, jnp.int32),
         T_cw=T_cw,
@@ -134,12 +137,24 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     live = state.map_valid & ~state.map_bad & age_ok
 
     # ---- 3. last-frame matching (gate < 15) --------------------------------
-    # MXU form: hamming = (256 - <+-1 descs>) / 2 as one int8 matmul
-    kp_pm1 = hamming.unpack_descriptors_pm1(kp.desc)
+    # MXU form: hamming = (256 - <+-1 descs>) / 2 as one int8 matmul;
+    # popcount form: XOR + lax.population_count on the packed words
+    if cfg.matcher.use_mxu:
+        kp_pm1 = hamming.unpack_descriptors_pm1(kp.desc)
+    else:
+        kp_pm1 = jnp.zeros((K, 256), jnp.int8)
     last_slots = _region_slots(t, t - 1, K, W)
     last_has_mp = state.last_valid & live[last_slots]
-    dist_last = hamming.hamming_distance_matrix_mxu(state.last_desc_pm1, kp_pm1)
-    b_idx, b_dist, _ = hamming.masked_best_match(dist_last, last_has_mp, kp.valid)
+    if cfg.matcher.backend == "pallas":
+        from stereo_semantic_vo_tpu.kernels.matcher import fused_best_match
+
+        b_idx, b_dist, _ = fused_best_match(state.last_desc, kp.desc, last_has_mp, kp.valid)
+    else:
+        if cfg.matcher.use_mxu:
+            dist_last = hamming.hamming_distance_matrix_mxu(state.last_desc_pm1, kp_pm1)
+        else:
+            dist_last = hamming.hamming_distance_matrix(state.last_desc, kp.desc)
+        b_idx, b_dist, _ = hamming.masked_best_match(dist_last, last_has_mp, kp.valid)
     accept3 = b_dist < cfg.matcher.last_frame_max_dist
     m3, q3 = _resolve_matches(last_has_mp, b_idx, b_dist, accept3, K)
     # per-cur-kp slot of the matched map point
@@ -168,8 +183,18 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     map_candidates = live & ~in_last_region & ~map_bad
     cur_free = kp.valid & ~m3
     if cfg.use_local_map:
-        dist_map = hamming.hamming_distance_matrix_mxu(state.map_desc_pm1, kp_pm1)
-        mb_idx, mb_dist, mb_second = hamming.masked_best_match(dist_map, map_candidates, cur_free)
+        if cfg.matcher.backend == "pallas":
+            from stereo_semantic_vo_tpu.kernels.matcher import fused_best_match
+
+            mb_idx, mb_dist, mb_second = fused_best_match(
+                state.map_desc, kp.desc, map_candidates, cur_free
+            )
+        else:
+            if cfg.matcher.use_mxu:
+                dist_map = hamming.hamming_distance_matrix_mxu(state.map_desc_pm1, kp_pm1)
+            else:
+                dist_map = hamming.hamming_distance_matrix(state.map_desc, kp.desc)
+            mb_idx, mb_dist, mb_second = hamming.masked_best_match(dist_map, map_candidates, cur_free)
         accept5 = (mb_dist < cfg.matcher.local_map_max_dist) & (
             mb_second.astype(jnp.float32) > cfg.matcher.local_map_ratio * mb_dist.astype(jnp.float32)
         )

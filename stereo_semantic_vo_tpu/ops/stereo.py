@@ -55,36 +55,57 @@ def sparse_disparity(
     D = cfg.max_disparity
     r = cfg.block_radius
     P = 2 * r + 1
-
-    # Whole-image formulation (TPU-friendly): D shifted truncated-difference
-    # maps, one box-filter over the (H, W, D) volume — pure fused VPU work and
-    # a single (P, P, 1) reduce_window — then a tiny (K, D) gather at the
-    # keypoints.  Orders of magnitude fewer gathers than per-keypoint strips.
-    gl = _xgrad(left)
-    gr = _xgrad(right)
-
-    def cost_map(d):
-        rs = jnp.roll(right, d, axis=1)
-        gs = jnp.roll(gr, d, axis=1)
-        ci = jnp.minimum(jnp.abs(left - rs), cfg.color_trunc)
-        cg = jnp.minimum(jnp.abs(gl - gs), cfg.grad_trunc)
-        c = cfg.color_weight * ci + cfg.grad_weight * cg
-        # separable PxP box aggregation (2P reads/px instead of P^2)
-        c = jax.lax.reduce_window(c, 0.0, jax.lax.add, (1, P), (1, 1), "SAME")
-        return jax.lax.reduce_window(c, 0.0, jax.lax.add, (P, 1), (1, 1), "SAME")
-
+    big = jnp.float32(1e9)
     x = jnp.round(uv[:, 0]).astype(jnp.int32)
     y = jnp.round(uv[:, 1]).astype(jnp.int32)
-    xc = jnp.clip(x, 0, W - 1)
-    yc = jnp.clip(y, 0, H - 1)
-    # sample each disparity's aggregated map at the keypoints -> (K, D)
-    costs = jnp.stack([cost_map(d)[yc, xc] for d in range(D)], axis=1)
-
-    # a disparity is addressable only if the window stays inside the image
+    gl = _xgrad(left)
+    gr = _xgrad(right)
     d_idx = jnp.arange(D)[None, :]
-    addressable = (x[:, None] - d_idx) >= r
-    big = jnp.float32(1e9)
-    costs = jnp.where(addressable, costs, big)
+
+    if cfg.sparse_mode == "volume":
+        # Whole-image formulation: D shifted truncated-difference maps with a
+        # separable PxP box filter each, sampled at the keypoints.
+        def cost_map(d):
+            rs = jnp.roll(right, d, axis=1)
+            gs = jnp.roll(gr, d, axis=1)
+            ci = jnp.minimum(jnp.abs(left - rs), cfg.color_trunc)
+            cg = jnp.minimum(jnp.abs(gl - gs), cfg.grad_trunc)
+            c = cfg.color_weight * ci + cfg.grad_weight * cg
+            c = jax.lax.reduce_window(c, 0.0, jax.lax.add, (1, P), (1, 1), "SAME")
+            return jax.lax.reduce_window(c, 0.0, jax.lax.add, (P, 1), (1, 1), "SAME")
+
+        xc = jnp.clip(x, 0, W - 1)
+        yc = jnp.clip(y, 0, H - 1)
+        costs = jnp.stack([cost_map(d)[yc, xc] for d in range(D)], axis=1)
+        addressable = (x[:, None] - d_idx) >= r
+        costs = jnp.where(addressable, costs, big)
+    else:  # "strips": per-keypoint row strips (fewer FLOPs, gather-heavy)
+        Ws = D + 2 * r
+        y0 = jnp.clip(y - r, 0, H - P)
+        xl0 = jnp.clip(x - r, 0, W - P)
+        xr0_raw = x - (D - 1) - r
+        xr0 = jnp.clip(xr0_raw, 0, W - Ws)
+        shift = xr0 - xr0_raw  # >0 where clamped at the image edge
+
+        def slice2(img, ys, xs, h, w):
+            return jax.lax.dynamic_slice(img, (ys, xs), (h, w))
+
+        lp = jax.vmap(lambda ys, xs: slice2(left, ys, xs, P, P))(y0, xl0)
+        lg = jax.vmap(lambda ys, xs: slice2(gl, ys, xs, P, P))(y0, xl0)
+        rp = jax.vmap(lambda ys, xs: slice2(right, ys, xs, P, Ws))(y0, xr0)
+        rg = jax.vmap(lambda ys, xs: slice2(gr, ys, xs, P, Ws))(y0, xr0)
+
+        def cost_at(d):
+            s = D - 1 - d
+            rp_d = jax.lax.dynamic_slice_in_dim(rp, s, P, axis=2)
+            rg_d = jax.lax.dynamic_slice_in_dim(rg, s, P, axis=2)
+            c_int = jnp.minimum(jnp.abs(lp - rp_d), cfg.color_trunc)
+            c_grd = jnp.minimum(jnp.abs(lg - rg_d), cfg.grad_trunc)
+            return jnp.sum(cfg.color_weight * c_int + cfg.grad_weight * c_grd, axis=(1, 2))
+
+        costs = jnp.stack([cost_at(d) for d in range(D)], axis=1)
+        addressable = (D - 1 - d_idx) >= shift[:, None]
+        costs = jnp.where(addressable, costs, big)
 
     best = jnp.argmin(costs, axis=1)
     c0 = jnp.take_along_axis(costs, best[:, None], axis=1)[:, 0]
