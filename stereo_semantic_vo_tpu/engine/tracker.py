@@ -72,6 +72,15 @@ def _region_slots(frame_idx, region_frame, K, W):
     return r * K + jnp.arange(K)
 
 
+def _set_region(arr, region_frame, K, W, src):
+    """Write a whole ring region as a dynamic_update_slice — the region is
+    contiguous, and DUS compiles to a copy instead of a scatter (scatters on
+    TPU serialize through the scalar core)."""
+    start = jnp.mod(region_frame, W) * K
+    idx = (start,) + (jnp.zeros((), jnp.int32),) * (arr.ndim - 1)
+    return jax.lax.dynamic_update_slice(arr, src.astype(arr.dtype), idx)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState, TrackOutputs]:
     """Frame-0 initialization (Tracking::init, Tracking.cc:42-97): pose = I,
@@ -102,13 +111,13 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
         last_desc=kp.desc,
         last_desc_pm1=kp_pm1,
         last_valid=kp.valid,
-        map_Xw=state.map_Xw.at[slots].set(Xw),
-        map_desc=state.map_desc.at[slots].set(kp.desc),
-        map_desc_pm1=state.map_desc_pm1.at[slots].set(kp_pm1),
-        map_valid=state.map_valid.at[slots].set(create),
-        map_bad=state.map_bad.at[slots].set(False),
-        map_create_id=state.map_create_id.at[slots].set(jnp.where(create, 0, -100)),
-        map_uid=state.map_uid.at[slots].set(jnp.where(create, jnp.arange(K), -1)),
+        map_Xw=_set_region(state.map_Xw, 0, K, W, Xw),
+        map_desc=_set_region(state.map_desc, 0, K, W, kp.desc),
+        map_desc_pm1=_set_region(state.map_desc_pm1, 0, K, W, kp_pm1),
+        map_valid=_set_region(state.map_valid, 0, K, W, create),
+        map_bad=_set_region(state.map_bad, 0, K, W, jnp.zeros((K,), bool)),
+        map_create_id=_set_region(state.map_create_id, 0, K, W, jnp.where(create, 0, -100)),
+        map_uid=_set_region(state.map_uid, 0, K, W, jnp.where(create, jnp.arange(K), -1)),
     )
     n = jnp.sum(create)
     zero = jnp.asarray(0, jnp.int32)
@@ -144,7 +153,8 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     else:
         kp_pm1 = jnp.zeros((K, 256), jnp.int8)
     last_slots = _region_slots(t, t - 1, K, W)
-    last_has_mp = state.last_valid & live[last_slots]
+    live_last = jax.lax.dynamic_slice_in_dim(live, jnp.mod(t - 1, W) * K, K, axis=0)
+    last_has_mp = state.last_valid & live_last
     if cfg.matcher.backend == "pallas":
         from stereo_semantic_vo_tpu.kernels.matcher import fused_best_match
 
@@ -251,13 +261,13 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
         last_desc=kp.desc,
         last_desc_pm1=kp_pm1,
         last_valid=kp.valid,
-        map_Xw=state.map_Xw.at[slots_t].set(src_Xw),
-        map_desc=state.map_desc.at[slots_t].set(src_desc),
-        map_desc_pm1=state.map_desc_pm1.at[slots_t].set(src_pm1),
-        map_valid=state.map_valid.at[slots_t].set(src_valid),
-        map_bad=map_bad.at[slots_t].set(src_bad),
-        map_create_id=state.map_create_id.at[slots_t].set(jnp.where(src_valid, src_create, -100)),
-        map_uid=state.map_uid.at[slots_t].set(jnp.where(src_valid, src_uid, -1)),
+        map_Xw=_set_region(state.map_Xw, t, K, W, src_Xw),
+        map_desc=_set_region(state.map_desc, t, K, W, src_desc),
+        map_desc_pm1=_set_region(state.map_desc_pm1, t, K, W, src_pm1),
+        map_valid=_set_region(state.map_valid, t, K, W, src_valid),
+        map_bad=_set_region(map_bad, t, K, W, src_bad),
+        map_create_id=_set_region(state.map_create_id, t, K, W, jnp.where(src_valid, src_create, -100)),
+        map_uid=_set_region(state.map_uid, t, K, W, jnp.where(src_valid, src_uid, -1)),
     )
     return new_state, TrackOutputs(
         T_cw=T_cw,
