@@ -22,6 +22,25 @@ LANDMARK_AXIS = "landmark"
 DATA_AXIS = "data"
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with env-var
+    fallbacks (the NCCL/MPI bootstrap the reference never had; SURVEY §5
+    'Distributed communication backend').  No-op on single-host."""
+    if num_processes is None or num_processes <= 1:
+        return
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_devices: int | None = None, axis: str = LANDMARK_AXIS) -> Mesh:
     """1-D mesh over the first n devices (default: all)."""
     devs = jax.devices()
