@@ -56,11 +56,17 @@ class VOPipeline:
         write_trajectory: bool = True,
         local_ba_every: int = 0,
         ba_mesh=None,
+        reinit_after_lost: int = 3,
     ):
         self.cfg = cfg
         self.detector = detector
         self.state = init_state(cfg)
         self.local_ba_every = local_ba_every
+        # tracking-lost recovery: reseed the map after N consecutive PnP
+        # failures (0 disables; the reference has no recovery at all)
+        self.reinit_after_lost = reinit_after_lost
+        self._consecutive_lost = 0
+        self.n_reinits = 0
         self.window_ba = None
         if local_ba_every > 0:
             from stereo_semantic_vo_tpu.engine.window_ba import WindowBA
@@ -108,10 +114,21 @@ class VOPipeline:
             boxes=jnp.asarray(boxes),
             boxes_valid=jnp.asarray(boxes_valid),
         )
-        if int(self.state.frame_idx) < 0:
+        reseed = (
+            self.reinit_after_lost > 0
+            and self._consecutive_lost >= self.reinit_after_lost
+        )
+        if int(self.state.frame_idx) < 0 or reseed:
             self.state, out = init_step(self.state, frame, self.cfg)
+            if reseed:
+                self.n_reinits += 1
+            self._consecutive_lost = 0
         else:
             self.state, out = track_step(self.state, frame, self.cfg)
+            if bool(out.pnp_ok):
+                self._consecutive_lost = 0
+            else:
+                self._consecutive_lost += 1
         if self.window_ba is not None:
             self.window_ba.push(out)
             fidx = int(self.state.frame_idx)

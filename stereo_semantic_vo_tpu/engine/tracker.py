@@ -83,8 +83,14 @@ def _set_region(arr, region_frame, K, W, src):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState, TrackOutputs]:
-    """Frame-0 initialization (Tracking::init, Tracking.cc:42-97): pose = I,
-    back-project every keypoint with valid depth outside detection boxes."""
+    """Map (re)initialization.
+
+    Frame-0 path (Tracking::init, Tracking.cc:42-97): pose = I (fresh state),
+    back-project every keypoint with valid depth outside detection boxes.
+    Called on a mid-sequence state it *reseeds* instead: keeps the current
+    pose, rebuilds the map from this frame — the tracking-lost recovery the
+    reference lacks (SURVEY §5: PnP degeneration silently produces garbage).
+    """
     cam = Camera.from_config(cfg.camera)
     kp = orb_ops.extract_orb(frame.left, cfg.orb)
     st = stereo_ops.sparse_disparity(frame.left, frame.right, kp.uv, kp.valid, cam, cfg.stereo)
@@ -92,42 +98,43 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
     in_box = epi_ops.in_box_mask(kp.uv, frame.boxes, frame.boxes_valid, cfg.matcher.box_margin_init)
     create = kp.valid & st.valid & ~in_box
 
-    T_cw = jnp.eye(4, dtype=jnp.float32)
+    t = jnp.maximum(state.frame_idx + 1, 0)
+    T_cw = state.T_cw  # identity on a fresh state; current pose on reseed
     Xc = backproject(cam, kp.uv, st.depth)
-    Xw = Xc  # T_wc = I at init
+    Xw = lie.transform_points(lie.T_inv(T_cw), Xc[None])[0]
 
     K = cfg.orb.max_keypoints
     W = cfg.window.window_frames
-    slots = _region_slots(0, jnp.asarray(0), K, W)
     if cfg.matcher.use_mxu:
         kp_pm1 = hamming.unpack_descriptors_pm1(kp.desc)
     else:
         kp_pm1 = jnp.zeros((K, 256), jnp.int8)
+    uid = t * K + jnp.arange(K)
     new_state = state._replace(
-        frame_idx=jnp.asarray(0, jnp.int32),
+        frame_idx=t,
         T_cw=T_cw,
-        velocity=jnp.eye(4, dtype=jnp.float32),
+        velocity=state.velocity,
         last_uv=kp.uv,
         last_desc=kp.desc,
         last_desc_pm1=kp_pm1,
         last_valid=kp.valid,
-        map_Xw=_set_region(state.map_Xw, 0, K, W, Xw),
-        map_desc=_set_region(state.map_desc, 0, K, W, kp.desc),
-        map_desc_pm1=_set_region(state.map_desc_pm1, 0, K, W, kp_pm1),
-        map_valid=_set_region(state.map_valid, 0, K, W, create),
-        map_bad=_set_region(state.map_bad, 0, K, W, jnp.zeros((K,), bool)),
-        map_create_id=_set_region(state.map_create_id, 0, K, W, jnp.where(create, 0, -100)),
-        map_uid=_set_region(state.map_uid, 0, K, W, jnp.where(create, jnp.arange(K), -1)),
+        map_Xw=_set_region(state.map_Xw, t, K, W, Xw),
+        map_desc=_set_region(state.map_desc, t, K, W, kp.desc),
+        map_desc_pm1=_set_region(state.map_desc_pm1, t, K, W, kp_pm1),
+        map_valid=_set_region(state.map_valid, t, K, W, create),
+        map_bad=_set_region(state.map_bad, t, K, W, jnp.zeros((K,), bool)),
+        map_create_id=_set_region(state.map_create_id, t, K, W, jnp.where(create, t, -100)),
+        map_uid=_set_region(state.map_uid, t, K, W, jnp.where(create, uid, -1)),
     )
     n = jnp.sum(create)
     zero = jnp.asarray(0, jnp.int32)
     return new_state, TrackOutputs(
-        T_cw=T_cw, T_wc=jnp.eye(4, dtype=jnp.float32),
+        T_cw=T_cw, T_wc=lie.T_inv(T_cw),
         n_keypoints=jnp.sum(kp.valid), n_stereo=jnp.sum(st.valid),
         n_matches_last=zero, n_matches_map=zero, n_pnp_inliers=zero,
         n_ba_inliers=zero, n_new_points=n, n_culled_dynamic=zero,
         pnp_ok=jnp.asarray(True),
-        kp_uv=kp.uv, obs_uid=jnp.where(create, jnp.arange(K), -1), obs_valid=create,
+        kp_uv=kp.uv, obs_uid=jnp.where(create, uid, -1), obs_valid=create,
     )
 
 
