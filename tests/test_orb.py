@@ -105,3 +105,32 @@ class TestPattern:
         assert np.abs(p).max() <= 15
         p2 = orb.brief_pattern(0x0B5E55ED)
         assert p is p2
+
+
+class TestRotationInvariance:
+    def test_90_degree_rotation(self):
+        """Steered BRIEF must match across a 90-degree rotation (exact pixels)
+        with geometrically consistent correspondences."""
+        from scipy.signal import convolve2d
+
+        rng = np.random.RandomState(0)
+        img = convolve2d(
+            rng.uniform(0, 255, (256, 256)).astype(np.float32),
+            np.ones((4, 4)) / 16.0, mode="same",
+        ).astype(np.float32)
+        rot = np.rot90(img).copy()
+        cfg = ORBConfig(max_keypoints=256, n_levels=3)
+        kp1 = orb.extract_orb(jnp.asarray(img), cfg)
+        kp2 = orb.extract_orb(jnp.asarray(rot), cfg)
+        d = hamming.hamming_distance_matrix(kp1.desc, kp2.desc)
+        idx, best, _ = hamming.masked_best_match(d, kp1.valid, kp2.valid)
+        v = np.asarray(kp1.valid)
+        matched = (np.asarray(best) < 50) & v
+        assert matched.sum() > 0.6 * v.sum()
+        # np.rot90 (ccw): (x, y) -> (y, W-1-x)
+        W = img.shape[1]
+        uv1 = np.asarray(kp1.uv)
+        uv2 = np.asarray(kp2.uv)[np.asarray(idx)]
+        expect = np.stack([uv1[matched, 1], W - 1 - uv1[matched, 0]], axis=1)
+        err = np.linalg.norm(uv2[matched] - expect, axis=1)
+        assert np.median(err) < 1.0
