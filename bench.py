@@ -27,6 +27,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from stereo_semantic_vo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from stereo_semantic_vo_tpu.core.config import VOConfig
     from stereo_semantic_vo_tpu.engine.state import init_state
     from stereo_semantic_vo_tpu.engine.tracker import FrameInput, init_step, track_step

@@ -62,7 +62,26 @@ def sparse_disparity(
     gr = _xgrad(right)
     d_idx = jnp.arange(D)[None, :]
 
-    if cfg.sparse_mode == "volume":
+    if cfg.sparse_mode == "volume2":
+        # One (H, W, D) tensor: stack the D shifted difference maps, then a
+        # separable box filter applied to the whole volume (2 reduce_windows
+        # total instead of 2 per disparity), then the keypoint gather.
+        def diff_map(d):
+            rs = jnp.roll(right, d, axis=1)
+            gs = jnp.roll(gr, d, axis=1)
+            ci = jnp.minimum(jnp.abs(left - rs), cfg.color_trunc)
+            cg = jnp.minimum(jnp.abs(gl - gs), cfg.grad_trunc)
+            return cfg.color_weight * ci + cfg.grad_weight * cg
+
+        vol = jnp.stack([diff_map(d) for d in range(D)], axis=-1)
+        vol = jax.lax.reduce_window(vol, 0.0, jax.lax.add, (1, P, 1), (1, 1, 1), "SAME")
+        vol = jax.lax.reduce_window(vol, 0.0, jax.lax.add, (P, 1, 1), (1, 1, 1), "SAME")
+        xc = jnp.clip(x, 0, W - 1)
+        yc = jnp.clip(y, 0, H - 1)
+        costs = vol[yc, xc]
+        addressable = (x[:, None] - d_idx) >= r
+        costs = jnp.where(addressable, costs, big)
+    elif cfg.sparse_mode == "volume":
         # Whole-image formulation: D shifted truncated-difference maps with a
         # separable PxP box filter each, sampled at the keypoints.
         def cost_map(d):

@@ -37,6 +37,10 @@ def main() -> None:
 
     import numpy as np
 
+    from stereo_semantic_vo_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from stereo_semantic_vo_tpu.core.config import VOConfig
     from stereo_semantic_vo_tpu.engine.pipeline import VOPipeline
     from stereo_semantic_vo_tpu.io import kitti
