@@ -83,19 +83,24 @@ def sparse_disparity(
         costs = jnp.where(addressable, costs, big)
     elif cfg.sparse_mode == "volume":
         # Whole-image formulation: D shifted truncated-difference maps with a
-        # separable PxP box filter each, sampled at the keypoints.
-        def cost_map(d):
+        # separable PxP box filter each, sampled at the keypoints.  Rolled up
+        # as a lax.scan over the disparity axis so the XLA program stays small
+        # (the unrolled form multiplied compile time by ~O(D)).
+        xc = jnp.clip(x, 0, W - 1)
+        yc = jnp.clip(y, 0, H - 1)
+
+        def scan_body(_, d):
             rs = jnp.roll(right, d, axis=1)
             gs = jnp.roll(gr, d, axis=1)
             ci = jnp.minimum(jnp.abs(left - rs), cfg.color_trunc)
             cg = jnp.minimum(jnp.abs(gl - gs), cfg.grad_trunc)
             c = cfg.color_weight * ci + cfg.grad_weight * cg
             c = jax.lax.reduce_window(c, 0.0, jax.lax.add, (1, P), (1, 1), "SAME")
-            return jax.lax.reduce_window(c, 0.0, jax.lax.add, (P, 1), (1, 1), "SAME")
+            c = jax.lax.reduce_window(c, 0.0, jax.lax.add, (P, 1), (1, 1), "SAME")
+            return None, c[yc, xc]
 
-        xc = jnp.clip(x, 0, W - 1)
-        yc = jnp.clip(y, 0, H - 1)
-        costs = jnp.stack([cost_map(d)[yc, xc] for d in range(D)], axis=1)
+        _, costs_dk = jax.lax.scan(scan_body, None, jnp.arange(D))  # (D, K)
+        costs = costs_dk.T
         addressable = (x[:, None] - d_idx) >= r
         costs = jnp.where(addressable, costs, big)
     else:  # "strips": per-keypoint row strips (fewer FLOPs, gather-heavy)
