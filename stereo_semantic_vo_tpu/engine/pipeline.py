@@ -80,6 +80,12 @@ class VOPipeline:
         self.writer = TrajectoryWriter(kitti_path, tum_path)
         self.frame_times: list[float] = []
         self.outputs: list[Any] = []
+        # one-frame-deferred host readback: dispatch frame t, read frame t-1's
+        # results — hides device->host sync latency behind compute.  Disabled
+        # when window BA needs synchronous state access.
+        self.defer_readback = self.window_ba is None
+        self._pending: tuple[Any, float] | None = None
+        self._n_processed = 0
 
     def _detect(self, left: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         det = self.detector.detect(jnp.asarray(left) / 255.0)
@@ -118,31 +124,48 @@ class VOPipeline:
             self.reinit_after_lost > 0
             and self._consecutive_lost >= self.reinit_after_lost
         )
-        if int(self.state.frame_idx) < 0 or reseed:
+        if self._n_processed == 0 or reseed:
             self.state, out = init_step(self.state, frame, self.cfg)
             if reseed:
                 self.n_reinits += 1
             self._consecutive_lost = 0
         else:
             self.state, out = track_step(self.state, frame, self.cfg)
-            if bool(out.pnp_ok):
-                self._consecutive_lost = 0
-            else:
-                self._consecutive_lost += 1
+        self._n_processed += 1
+
         if self.window_ba is not None:
             self.window_ba.push(out)
-            fidx = int(self.state.frame_idx)
+            fidx = self._n_processed - 1
             if self.window_ba.ready() and fidx % self.local_ba_every == 0:
                 self.state, _ = self.window_ba.refine(self.state)
                 out = out._replace(
                     T_cw=self.state.T_cw,
                     T_wc=jnp.linalg.inv(self.state.T_cw),
                 )
-        T_wc = np.asarray(out.T_wc)  # device sync point
+
+        if self.defer_readback:
+            prev = self._pending
+            self._pending = (out, timestamp)
+            if prev is not None:
+                self._finalize(*prev)
+        else:
+            self._finalize(out, timestamp)
         self.frame_times.append(time.perf_counter() - t0)
-        self.writer.append(T_wc, timestamp)
-        self.outputs.append(jax.tree.map(np.asarray, out))
         return out
+
+    def _finalize(self, out, timestamp: float) -> None:
+        """Host-side consumption of a step's outputs (sync point)."""
+        if bool(out.pnp_ok):
+            self._consecutive_lost = 0
+        else:
+            self._consecutive_lost += 1
+        self.writer.append(np.asarray(out.T_wc), timestamp)
+        self.outputs.append(out)
+
+    def flush(self) -> None:
+        if self._pending is not None:
+            self._finalize(*self._pending)
+            self._pending = None
 
     def run(self, frames: Iterable, prefetch: bool = True) -> dict:
         """frames yields (idx, left, right, boxes, boxes_valid, timestamp)
@@ -152,6 +175,7 @@ class VOPipeline:
             if self.detector is not None:
                 boxes, bv = None, None
             self.process_frame(left, right, boxes, bv, ts)
+        self.flush()
         self.writer.close()
         times = np.array(self.frame_times[1:]) if len(self.frame_times) > 1 else np.array(
             self.frame_times

@@ -23,6 +23,7 @@ class TestRecovery:
         for item in frames_with_blackout(8):
             t, left, right, _, _, ts = item
             pipe.process_frame(left, right, None, None, ts)
+        pipe.flush()
         assert pipe.n_reinits >= 1
         # after recovery the last frames track again
         assert bool(pipe.outputs[-1].pnp_ok)
@@ -33,4 +34,5 @@ class TestRecovery:
         for item in frames_with_blackout(7):
             t, left, right, _, _, ts = item
             pipe.process_frame(left, right, None, None, ts)
+        pipe.flush()
         assert pipe.n_reinits == 0
