@@ -14,8 +14,11 @@ import os
 def enable_persistent_cache(path: str | None = None) -> str:
     import jax
 
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     path = path or os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/ssvo_jax")
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(repo_root, ".jax_cache")
     )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
