@@ -103,6 +103,24 @@ def sparse_disparity(
         costs = costs_dk.T
         addressable = (x[:, None] - d_idx) >= r
         costs = jnp.where(addressable, costs, big)
+    elif cfg.sparse_mode == "pallas":
+        # fused per-keypoint strip kernel (kernels/sparse_stereo.py): DMA only
+        # the strips, disparity axis on VPU lanes
+        from stereo_semantic_vo_tpu.kernels.sparse_stereo import keypoint_stereo_costs
+
+        Ws = D + 2 * r
+        y0 = jnp.clip(y - r, 0, H - P)
+        xl0 = jnp.clip(x - r, 0, W - P)
+        xr0_raw = x - (D - 1) - r
+        xr0 = jnp.clip(xr0_raw, 0, W - Ws)
+        shift = xr0 - xr0_raw
+        acc = keypoint_stereo_costs(
+            left, right, gl, gr, y0, xl0, xr0, D, r,
+            cfg.color_weight, cfg.grad_weight, cfg.color_trunc, cfg.grad_trunc,
+        )
+        costs = acc[:, ::-1]  # strip offset s = D-1-d -> disparity order
+        addressable = (D - 1 - d_idx) >= shift[:, None]
+        costs = jnp.where(addressable, costs, big)
     else:  # "strips": per-keypoint row strips (fewer FLOPs, gather-heavy)
         Ws = D + 2 * r
         y0 = jnp.clip(y - r, 0, H - P)
