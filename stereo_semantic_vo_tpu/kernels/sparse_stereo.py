@@ -18,6 +18,16 @@ body runs (pltpu.PrefetchScalarGridSpec).
 
 Disparity mapping matches ops/stereo.py "strips" mode: strip lane s
 corresponds to disparity d = D - 1 - s; the caller flips and masks.
+
+STATUS: experimental.  Bit-exact vs the XLA "strips" path under the Pallas
+interpreter (tests/test_stereo_pallas.py), but the compiled Mosaic path
+currently rejects the unaligned per-keypoint DMAs ("slice shape along
+dimension 0 must be aligned to tiling (8), but is 7") — keypoint strips have
+arbitrary origins, and v5e DMA slicing wants sublane(8)/lane(128)-aligned
+extents when the source lands in VMEM.  The planned fix is a row-block
+redesign: grid over 8-row image bands with keypoints bucketed per band via
+scalar prefetch, so every DMA is (8, 128)-aligned.  Until then the tracker
+defaults to the "volume" XLA formulation (see StereoConfig.sparse_mode).
 """
 
 from __future__ import annotations

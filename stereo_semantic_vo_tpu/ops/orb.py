@@ -84,15 +84,19 @@ def _fast_score(img: jax.Array, threshold: float) -> jax.Array:
     brighter = diff > threshold
     darker = diff < -threshold
 
+    # circular >= _ARC run detection on packed 16-bit masks: duplicate the
+    # ring (m | m<<16) and AND 9 shifted copies — ~18 integer ops instead of
+    # 16x9 boolean ANDs (keeps the XLA program small: this runs per pyramid
+    # level)
+    weights = (jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32))[:, None, None]
+
     def arc_any(bits):
-        # is there a run of >= _ARC consecutive set bits on the 16-ring?
-        out = jnp.zeros_like(bits[0])
-        for r in range(16):
-            run = bits[r]
-            for i in range(1, _ARC):
-                run = run & bits[(r + i) % 16]
-            out = out | run
-        return out
+        m = jnp.sum(jnp.where(bits, weights, jnp.uint32(0)), axis=0)
+        m2 = m | (m << 16)
+        run = m2
+        for k in range(1, _ARC):
+            run = run & (m2 >> k)
+        return (run & jnp.uint32(0xFFFF)) != 0
 
     is_corner = arc_any(brighter) | arc_any(darker)
     # response: sum of |diff| - t over the classified samples (NMS ranking)
