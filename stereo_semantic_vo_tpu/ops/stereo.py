@@ -62,6 +62,24 @@ def sparse_disparity(
     gr = _xgrad(right)
     d_idx = jnp.arange(D)[None, :]
 
+    if cfg.sparse_mode == "dense":
+        # reference-faithful path: full dense disparity (SGM engine standing
+        # in for MSA), sampled at the keypoints (frame.cc:82-164 order)
+        from stereo_semantic_vo_tpu.ops.dense_stereo import dense_disparity
+
+        dd = dense_disparity(left, right, cfg)
+        xc = jnp.clip(x, 0, W - 1)
+        yc = jnp.clip(y, 0, H - 1)
+        disp = dd.disparity[yc, xc]
+        dvalid = dd.valid[yc, xc]
+        valid = kp_valid & dvalid & (disp > cfg.min_disparity)
+        depth = jnp.where(valid, disparity_to_depth(cam, disp, cfg.min_disparity), 0.0)
+        return StereoMatch(
+            disparity=jnp.where(valid, disp, -1.0),
+            depth=depth,
+            valid=valid,
+            cost=jnp.zeros_like(disp),
+        )
     if cfg.sparse_mode == "volume2":
         # One (H, W, D) tensor: stack the D shifted difference maps, then a
         # separable box filter applied to the whole volume (2 reduce_windows

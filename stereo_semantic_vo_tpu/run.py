@@ -31,6 +31,10 @@ def main() -> None:
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--no-semantics", action="store_true")
     p.add_argument("--gt", default=None, help="KITTI GT pose file for ATE report")
+    p.add_argument("--local-ba", type=int, default=0, metavar="N",
+                   help="run windowed local BA every N frames (0 = off)")
+    p.add_argument("--dense-stereo", action="store_true",
+                   help="reference-faithful dense SGM disparity sampled at keypoints")
     args = p.parse_args()
 
     import dataclasses
@@ -48,6 +52,10 @@ def main() -> None:
     cfg = VOConfig.kitti(args.seq_id)
     if args.no_semantics:
         cfg = dataclasses.replace(cfg, use_semantics=False)
+    if args.dense_stereo:
+        cfg = dataclasses.replace(
+            cfg, stereo=dataclasses.replace(cfg.stereo, sparse_mode="dense")
+        )
 
     detector = None
     if args.yolo_cfg:
@@ -67,7 +75,7 @@ def main() -> None:
         paths, args.boxes_dir, cfg.semantic.max_boxes, args.max_frames,
         image_hw=(cfg.camera.height, cfg.camera.width),
     )
-    pipe = VOPipeline(cfg, detector=detector, out_dir=args.out)
+    pipe = VOPipeline(cfg, detector=detector, out_dir=args.out, local_ba_every=args.local_ba)
     summary = pipe.run(frames)
     report = {k: v for k, v in summary.items() if k != "positions"}
 
