@@ -46,6 +46,45 @@ def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray, align: bool = True) ->
     return float(np.sqrt((err**2).mean()))
 
 
+def kitti_segment_errors(
+    est_poses: np.ndarray,
+    gt_poses: np.ndarray,
+    lengths: tuple[float, ...] = (100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0),
+    step: int = 10,
+):
+    """KITTI odometry devkit metric: average translational error (%) and
+    rotational error (deg/m) over all subsequences of the given path lengths.
+
+    Returns (t_err_percent, r_err_deg_per_m) averaged over all segments, or
+    (nan, nan) if the trajectory is shorter than the smallest length.
+    """
+    # cumulative distance along GT
+    d = np.zeros(len(gt_poses))
+    for i in range(1, len(gt_poses)):
+        d[i] = d[i - 1] + np.linalg.norm(gt_poses[i][:3, 3] - gt_poses[i - 1][:3, 3])
+
+    def frame_at_distance(start: int, dist: float) -> int | None:
+        target = d[start] + dist
+        idx = np.searchsorted(d, target)
+        return int(idx) if idx < len(d) else None
+
+    t_errs, r_errs = [], []
+    for start in range(0, len(gt_poses), step):
+        for L in lengths:
+            end = frame_at_distance(start, L)
+            if end is None:
+                continue
+            dg = np.linalg.inv(gt_poses[start]) @ gt_poses[end]
+            de = np.linalg.inv(est_poses[start]) @ est_poses[end]
+            e = np.linalg.inv(dg) @ de
+            t_errs.append(np.linalg.norm(e[:3, 3]) / L)
+            ang = np.clip((np.trace(e[:3, :3]) - 1) / 2, -1, 1)
+            r_errs.append(np.degrees(abs(np.arccos(ang))) / L)
+    if not t_errs:
+        return float("nan"), float("nan")
+    return float(np.mean(t_errs) * 100.0), float(np.mean(r_errs))
+
+
 def rpe(est_poses: np.ndarray, gt_poses: np.ndarray, delta: int = 1):
     """Relative pose error over frame delta: (trans RMSE m, rot RMSE rad)."""
     t_errs, r_errs = [], []

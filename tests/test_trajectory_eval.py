@@ -79,3 +79,34 @@ class TestATE:
         p = make_traj()
         t_err, r_err = rpe(p, p)
         assert t_err < 1e-9 and r_err < 1e-6
+
+
+class TestKittiSegmentErrors:
+    def test_perfect_zero(self):
+        from stereo_semantic_vo_tpu.eval.ate import kitti_segment_errors
+
+        # straight 1 m/frame trajectory, 900 frames -> covers all lengths
+        n = 900
+        poses = np.tile(np.eye(4), (n, 1, 1))
+        poses[:, 2, 3] = np.arange(n, dtype=float)
+        t_err, r_err = kitti_segment_errors(poses, poses)
+        assert t_err == 0.0 and r_err == 0.0
+
+    def test_scale_drift_measured(self):
+        from stereo_semantic_vo_tpu.eval.ate import kitti_segment_errors
+
+        n = 900
+        gt = np.tile(np.eye(4), (n, 1, 1))
+        gt[:, 2, 3] = np.arange(n, dtype=float)
+        est = gt.copy()
+        est[:, 2, 3] *= 1.02  # 2% scale drift
+        t_err, r_err = kitti_segment_errors(est, gt)
+        assert abs(t_err - 2.0) < 0.1
+        assert r_err < 1e-9
+
+    def test_short_trajectory_nan(self):
+        from stereo_semantic_vo_tpu.eval.ate import kitti_segment_errors
+
+        poses = np.tile(np.eye(4), (10, 1, 1))
+        t_err, r_err = kitti_segment_errors(poses, poses)
+        assert np.isnan(t_err)
