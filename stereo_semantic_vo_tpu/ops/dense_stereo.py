@@ -109,7 +109,9 @@ def sgm_aggregate(vol: jax.Array, cfg: StereoConfig) -> jax.Array:
 
 
 def _wta_subpixel(agg: jax.Array, min_disp: float) -> jax.Array:
-    """(H, W, D) -> (H, W) winner-take-all disparity with parabola refinement."""
+    """(H, W, D) -> (H, W) winner-take-all disparity with equiangular
+    sub-pixel refinement (SAD costs are V-shaped; a two-line fit avoids the
+    parabola's pixel-locking bias)."""
     D = agg.shape[-1]
     best = jnp.argmin(agg, axis=-1)
     c0 = jnp.take_along_axis(agg, best[..., None], axis=-1)[..., 0]
@@ -117,8 +119,8 @@ def _wta_subpixel(agg: jax.Array, min_disp: float) -> jax.Array:
     bp = jnp.clip(best + 1, 0, D - 1)
     cm = jnp.take_along_axis(agg, bm[..., None], axis=-1)[..., 0]
     cp = jnp.take_along_axis(agg, bp[..., None], axis=-1)[..., 0]
-    denom = cm - 2 * c0 + cp
-    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (cm - cp) / denom, 0.0)
+    denom = 2.0 * (jnp.maximum(cm, cp) - c0)
+    delta = jnp.where(denom > 1e-6, (cm - cp) / denom, 0.0)
     return best.astype(jnp.float32) + jnp.clip(delta, -0.5, 0.5)
 
 

@@ -229,8 +229,15 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
         valid = s > 0.0
 
         xy = jnp.stack([px, py], axis=-1)
-        angle = _orientation(img_l, xy, cfg.half_patch)
-        img_s = _smooth(img_l)
+        img_s = img_l
+        for _ in range(max(cfg.smooth_passes, 1)):
+            img_s = _smooth(img_s)
+        # orientation from the smoothed image: the IC angle jitters badly on
+        # raw pixels and every degree of jitter flips outer-radius BRIEF bits
+        if cfg.steer:
+            angle = _orientation(img_s, xy, cfg.half_patch)
+        else:
+            angle = jnp.zeros(xy.shape[0], img_l.dtype)
         desc = _describe(img_s, xy, angle, pattern)
 
         scale = cfg.scale_factor**level

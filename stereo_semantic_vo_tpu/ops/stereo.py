@@ -175,13 +175,15 @@ def sparse_disparity(
     c1 = jnp.min(c_excl, axis=1)
     unique = c0 < cfg.uniqueness_ratio * c1
 
-    # sub-pixel parabola around the minimum
+    # sub-pixel refinement: SAD-style costs form a V around the true minimum,
+    # so equiangular interpolation (two-line fit) has far less pixel-locking
+    # bias than a parabola
     bm = jnp.clip(best - 1, 0, D - 1)
     bp = jnp.clip(best + 1, 0, D - 1)
     cm = jnp.take_along_axis(costs, bm[:, None], axis=1)[:, 0]
     cp = jnp.take_along_axis(costs, bp[:, None], axis=1)[:, 0]
-    denom = cm - 2.0 * c0 + cp
-    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (cm - cp) / denom, 0.0)
+    denom = 2.0 * (jnp.maximum(cm, cp) - c0)
+    delta = jnp.where(denom > 1e-6, (cm - cp) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
     disp = best.astype(jnp.float32) + delta
 
