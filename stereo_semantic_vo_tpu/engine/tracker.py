@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from stereo_semantic_vo_tpu.core import lie
-from stereo_semantic_vo_tpu.core.camera import Camera, backproject, project
+from stereo_semantic_vo_tpu.core.camera import Camera, backproject
 from stereo_semantic_vo_tpu.core.config import VOConfig
 from stereo_semantic_vo_tpu.engine.state import TrackOutputs, VOState, init_state
 from stereo_semantic_vo_tpu.kernels import hamming

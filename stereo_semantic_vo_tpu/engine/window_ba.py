@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stereo_semantic_vo_tpu.core.camera import Camera
-from stereo_semantic_vo_tpu.core.config import BAConfig, VOConfig
+from stereo_semantic_vo_tpu.core.config import VOConfig
 from stereo_semantic_vo_tpu.engine.state import VOState
 from stereo_semantic_vo_tpu.ops import local_ba as local_ba_ops
 

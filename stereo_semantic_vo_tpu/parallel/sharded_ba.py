@@ -28,7 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from stereo_semantic_vo_tpu.core import lie
 from stereo_semantic_vo_tpu.core.camera import Camera

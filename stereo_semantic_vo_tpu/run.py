@@ -39,8 +39,6 @@ def main() -> None:
 
     import dataclasses
 
-    import numpy as np
-
     from stereo_semantic_vo_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
