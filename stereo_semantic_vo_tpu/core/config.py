@@ -87,7 +87,7 @@ class StereoConfig:
     for the reference's MSA spanning-tree aggregation (Thirdparty/MB/MSA.cpp).
     """
 
-    max_disparity: int = 64           # reference solves d∈[0,48] (frame.cc:87); padded to lane multiple
+    max_disparity: int = 48           # reference solves d∈[0,48] (frame.cc:87)
     block_radius: int = 3             # matching window radius (sparse + dense)
     # cost-volume mixing, mirrors MSA's 0.11*color + 0.89*gradient with
     # truncations 7.0 / 2.0 (MSA.cpp:30-32, 78-108)
