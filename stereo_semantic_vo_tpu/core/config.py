@@ -71,9 +71,9 @@ class ORBConfig:
     border: int = 19                  # no detection within this margin
     descriptor_bits: int = 256
     brief_seed: int = 0x0B5E55ED      # deterministic rBRIEF sampling pattern
-    smooth_passes: int = 2            # 5x5 box passes before BRIEF sampling
-                                      # (2 ~ triangular 9x9: fewer bit flips
-                                      # under sub-pixel appearance change)
+    smooth_width: int = 9             # box-blur width before BRIEF sampling
+                                      # (wide blur = fewer bit flips under
+                                      # sub-pixel appearance change)
     steer: bool = True                # rotate the pattern by the IC angle
                                       # (False = upright BRIEF: more stable
                                       # bits when the platform has no roll)

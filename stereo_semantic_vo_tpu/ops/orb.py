@@ -132,9 +132,11 @@ def _grid_topk(score: jax.Array, rows: int, cols: int, k_cell: int):
     return flat.reshape(-1), top.reshape(-1)
 
 
-def _smooth(img: jax.Array) -> jax.Array:
-    """5x5 box blur (separable) — BRIEF's noise-robust sampling surface."""
-    k = jnp.ones((5,), img.dtype) / 5.0
+def _smooth(img: jax.Array, width: int = 5) -> jax.Array:
+    """width x width box blur (separable) — BRIEF's noise-robust sampling
+    surface.  One wide pass ~ the blur of two narrow passes at half the
+    conv count (this runs per pyramid level)."""
+    k = jnp.ones((width,), img.dtype) / width
     x = jax.lax.conv_general_dilated(
         img[None, None], k[None, None, :, None], (1, 1), "SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
@@ -229,9 +231,7 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
         valid = s > 0.0
 
         xy = jnp.stack([px, py], axis=-1)
-        img_s = img_l
-        for _ in range(max(cfg.smooth_passes, 1)):
-            img_s = _smooth(img_s)
+        img_s = _smooth(img_l, cfg.smooth_width)
         # orientation from the smoothed image: the IC angle jitters badly on
         # raw pixels and every degree of jitter flips outer-radius BRIEF bits
         if cfg.steer:
