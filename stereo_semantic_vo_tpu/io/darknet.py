@@ -22,7 +22,14 @@ from typing import Any
 
 import numpy as np
 
-BN_EPS = 1e-5
+BN_EPS = 1e-5  # kept for backward-compat imports; folding uses bn_inv_std
+
+
+def bn_inv_std(var: np.ndarray) -> np.ndarray:
+    """Darknet's exact normalization factor: eps is added to the *stddev*
+    (blas.c normalize_cpu :154, ``(x-mean)/(sqrt(var)+1e-6)``), not to the
+    variance as in most frameworks."""
+    return 1.0 / (np.sqrt(var) + 1e-6)
 
 
 def parse_cfg(text: str) -> list[dict[str, Any]]:
@@ -139,7 +146,7 @@ def load_weights(
             var = read_f32(n)
         w = read_f32(n * c * size * size).reshape(n, c, size, size)  # OIHW
         if info["bn"]:
-            inv_std = 1.0 / np.sqrt(var + BN_EPS)
+            inv_std = bn_inv_std(var)
             w = w * (scales * inv_std)[:, None, None, None]
             b = biases - scales * mean * inv_std
         else:
@@ -147,6 +154,102 @@ def load_weights(
         # OIHW -> HWIO (TPU-preferred conv layout)
         params[info["index"]] = {"w": np.transpose(w, (2, 3, 1, 0)).copy(), "b": b}
     return params
+
+
+def load_weights_raw(
+    cfg_sections: list[dict], weights_bytes: bytes
+) -> dict[int, dict[str, np.ndarray]]:
+    """Parse a darknet .weights blob *without* folding batch-norm — the
+    trainable form (parser.c load_convolutional_weights layout).
+
+    Returns {layer_index: {'w': HWIO, 'b': (n,)} plus, for batch-normalized
+    layers, 'scales'/'mean'/'var' (the rolling statistics)}.
+    """
+    buf = _io.BytesIO(weights_bytes)
+    major, minor, revision = np.frombuffer(buf.read(12), dtype="<i4")
+    if major * 10 + minor >= 2 and major < 1000 and minor < 1000:
+        buf.read(8)
+    else:
+        buf.read(4)
+
+    def read_f32(count):
+        data = np.frombuffer(buf.read(4 * count), dtype="<f4")
+        if data.size != count:
+            raise ValueError(f"weights file truncated: wanted {count}, got {data.size}")
+        return data.astype(np.float32)
+
+    params: dict[int, dict[str, np.ndarray]] = {}
+    for info in conv_layer_shapes(cfg_sections):
+        n, c, size = info["n"], info["c"], info["size"]
+        p: dict[str, np.ndarray] = {"b": read_f32(n)}
+        if info["bn"]:
+            p["scales"] = read_f32(n)
+            p["mean"] = read_f32(n)
+            p["var"] = read_f32(n)
+        w = read_f32(n * c * size * size).reshape(n, c, size, size)
+        p["w"] = np.transpose(w, (2, 3, 1, 0)).copy()  # OIHW -> HWIO
+        params[info["index"]] = p
+    return params
+
+
+def fold_params(
+    raw: dict[int, dict[str, np.ndarray]],
+) -> dict[int, dict[str, np.ndarray]]:
+    """Fold rolling batch-norm statistics of trainable params into inference
+    (w, b) pairs — the transform ``load_weights`` applies at read time."""
+    out: dict[int, dict[str, np.ndarray]] = {}
+    for idx, p in raw.items():
+        w = np.asarray(p["w"])
+        b = np.asarray(p["b"])
+        if "scales" in p:
+            inv_std = bn_inv_std(np.asarray(p["var"]))
+            w = w * (np.asarray(p["scales"]) * inv_std)[None, None, None, :]
+            b = b - np.asarray(p["scales"]) * np.asarray(p["mean"]) * inv_std
+        out[idx] = {"w": w, "b": b}
+    return out
+
+
+def random_weights_raw(
+    cfg_sections: list[dict], seed: int = 0
+) -> dict[int, dict[str, np.ndarray]]:
+    """He-initialized *trainable* params (unfolded BN: scales=1, mean=0,
+    var=1), matching darknet's make_convolutional_layer init."""
+    rng = np.random.RandomState(seed)
+    params = {}
+    for info in conv_layer_shapes(cfg_sections):
+        n, c, size = info["n"], info["c"], info["size"]
+        std = np.sqrt(2.0 / (c * size * size))
+        p = {
+            "w": rng.normal(0, std, (size, size, c, n)).astype(np.float32),
+            "b": np.zeros(n, np.float32),
+        }
+        if info["bn"]:
+            p["scales"] = np.ones(n, np.float32)
+            p["mean"] = np.zeros(n, np.float32)
+            p["var"] = np.ones(n, np.float32)
+        params[info["index"]] = p
+    return params
+
+
+def save_weights_raw(
+    cfg_sections: list[dict], raw: dict[int, dict[str, np.ndarray]], seen: int = 0
+) -> bytes:
+    """Serialize trainable params (HWIO 'w', 'b', optional BN stats) back to
+    darknet .weights bytes (parser.c save_convolutional_weights layout) — the
+    checkpoint format the reference's training path writes."""
+    out = _io.BytesIO()
+    out.write(np.array([0, 2, 0], dtype="<i4").tobytes())
+    out.write(np.array([seen], dtype="<i8").tobytes())
+    for info in conv_layer_shapes(cfg_sections):
+        p = raw[info["index"]]
+        out.write(np.asarray(p["b"], "<f4").tobytes())
+        if info["bn"]:
+            out.write(np.asarray(p["scales"], "<f4").tobytes())
+            out.write(np.asarray(p["mean"], "<f4").tobytes())
+            out.write(np.asarray(p["var"], "<f4").tobytes())
+        w_oihw = np.transpose(np.asarray(p["w"], np.float32), (3, 2, 0, 1))
+        out.write(w_oihw.astype("<f4").tobytes())
+    return out.getvalue()
 
 
 def random_weights(

@@ -104,7 +104,7 @@ class TestWeightsIO:
         # check folding math on layer 0 (has BN)
         info0 = darknet.conv_layer_shapes(secs)[0]
         r = raw[info0["index"]]
-        inv_std = 1.0 / np.sqrt(r["var"] + darknet.BN_EPS)
+        inv_std = darknet.bn_inv_std(r["var"])
         w_expect = r["w_oihw"] * (r["scales"] * inv_std)[:, None, None, None]
         b_expect = r["biases"] - r["scales"] * r["mean"] * inv_std
         got = params[info0["index"]]
