@@ -99,6 +99,9 @@ class StereoConfig:
     p1: float = 1.0
     p2: float = 8.0
     lr_consistency_px: float = 1.0    # LR check tolerance (MSA LRcheck, MSA.cpp:1027)
+    refine: bool = True               # LR-guided third aggregation pass that
+                                      # repairs inconsistent pixels
+                                      # (MSA solve :1163-1167)
     uniqueness_ratio: float = 0.95
     min_disparity: float = 0.5        # below this the match is invalid
     sparse_mode: str = "strips"       # "strips" (gather-heavy) | "volume" (VPU-heavy)

@@ -14,7 +14,11 @@ control flow.
 
 Pipeline (mirrors solve()'s structure): cost volume -> 4-path SGM -> WTA +
 sub-pixel -> left/right consistency check (LRcheck, MSA.cpp:1027-1105) ->
-3x3 median (ctmf replacement).
+LR-guided refinement pass (cost reset to |d - d1| for consistent pixels, 0
+for inconsistent, re-aggregated at reduced smoothing — MSA.cpp:1163-1167) ->
+3x3 median (ctmf replacement).  The refinement repairs LR-failed pixels from
+their consistent neighbours instead of discarding them, matching the
+reference engine's dense output.
 """
 
 from __future__ import annotations
@@ -31,7 +35,8 @@ from stereo_semantic_vo_tpu.kernels.median import median3x3
 
 class DenseDisparity(NamedTuple):
     disparity: jax.Array  # (H, W) float32, -1 where invalid
-    valid: jax.Array      # (H, W) bool (passed LR check)
+    valid: jax.Array      # (H, W) bool (passed LR check, or was repaired
+                          #  by the refinement pass when cfg.refine is on)
 
 
 def _xgrad(img: jax.Array) -> jax.Array:
@@ -145,6 +150,32 @@ def dense_disparity(left: jax.Array, right: jax.Array, cfg: StereoConfig) -> Den
     # disparity-range border: the first D columns cannot see their match
     in_range = xs - disp_l >= 0
     valid = consistent & in_range & (disp_l > cfg.min_disparity)
+
+    if cfg.refine:
+        # MSA's third phase (solve :1163-1167): reset the cost volume from the
+        # LR verdict — consistent pixels anchor at their disparity with a
+        # unit-slope penalty |d - d1| (LRcheck, MSA.cpp:1027-1105), failed
+        # pixels cost 0 everywhere — and re-aggregate at reduced smoothing
+        # (setExp(o/2)).  Aggregation then interpolates the failed pixels
+        # from their consistent neighbours instead of discarding them.
+        D = cfg.max_disparity
+        d_axis = jnp.arange(D, dtype=jnp.float32)
+        vol_ref = jnp.where(
+            valid[..., None],
+            jnp.abs(d_axis - disp_l[..., None]),
+            0.0,
+        )
+        agg_ref = (
+            _sgm_pass(vol_ref, cfg.p1 * 0.5, cfg.p2 * 0.5, 1, False)
+            + _sgm_pass(vol_ref, cfg.p1 * 0.5, cfg.p2 * 0.5, 1, True)
+            + _sgm_pass(vol_ref, cfg.p1 * 0.5, cfg.p2 * 0.5, 0, False)
+            + _sgm_pass(vol_ref, cfg.p1 * 0.5, cfg.p2 * 0.5, 0, True)
+        )
+        disp_ref = _wta_subpixel(agg_ref, cfg.min_disparity)
+        # consistent pixels keep their (sub-pixel) first-pass estimate; failed
+        # pixels take the repaired value
+        disp_l = jnp.where(valid, disp_l, disp_ref)
+        valid = in_range & (disp_l > cfg.min_disparity)
 
     disp = median3x3(jnp.where(valid, disp_l, 0.0))
     disp = jnp.where(valid, disp, -1.0)

@@ -8,8 +8,11 @@ map point a moving object and poisons it (mp->bad, pnpmatch.cc:103-144).
 
 TPU-native version: one normalized least-squares 8-point fit over *all*
 masked background matches at once (a 9x9 eigenproblem instead of a RANSAC
-loop — the background set is already outlier-filtered by the Hamming gate),
-and a batched point-line distance for the dynamic test.
+loop), hardened with a few IRLS reweighting rounds on the Sampson distance —
+the Hamming gate (<15) reduces but does not eliminate gross outliers, and a
+single bad background match at full weight would skew F and with it the
+0.1 px dynamic-culling verdict.  A batched point-line distance implements
+the dynamic test itself.
 """
 
 from __future__ import annotations
@@ -33,14 +36,10 @@ def _normalize_points(uv: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.Array
     return uvn, T
 
 
-def fit_fundamental(
+def _fit_fundamental_once(
     uv1: jax.Array, uv2: jax.Array, weight: jax.Array
 ) -> jax.Array:
-    """Weighted 8-point fundamental matrix from (K, 2) correspondences.
-
-    ``weight`` masks invalid / in-box matches to zero.  Returns F (3, 3) with
-    rank-2 enforcement, mapping p1 -> epiline in image 2 (l2 = F @ p1h).
-    """
+    """One weighted normalized 8-point solve (no robustness)."""
     x1, T1 = _normalize_points(uv1, weight)
     x2, T2 = _normalize_points(uv2, weight)
     u1, v1 = x1[:, 0], x1[:, 1]
@@ -61,6 +60,41 @@ def fit_fundamental(
     F = T2.T @ F @ T1
     # scale-normalize for a comparable distance threshold
     return F / jnp.maximum(jnp.abs(F[2, 2]), 1e-9)
+
+
+def sampson_distance(F: jax.Array, uv1: jax.Array, uv2: jax.Array) -> jax.Array:
+    """First-order geometric reprojection error of the epipolar constraint,
+    symmetric in both images.  uv1/uv2: (K, 2) -> (K,) pixels."""
+    p1 = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=-1)
+    p2 = jnp.concatenate([uv2, jnp.ones_like(uv2[:, :1])], axis=-1)
+    l2 = p1 @ F.T  # (K, 3): epiline of p1 in image 2
+    l1 = p2 @ F   # (K, 3): epiline of p2 in image 1
+    e = jnp.sum(p2 * l2, axis=-1)  # p2^T F p1
+    den = l2[:, 0] ** 2 + l2[:, 1] ** 2 + l1[:, 0] ** 2 + l1[:, 1] ** 2
+    return jnp.abs(e) / jnp.sqrt(den + 1e-12)
+
+
+def fit_fundamental(
+    uv1: jax.Array, uv2: jax.Array, weight: jax.Array, irls_iters: int = 3
+) -> jax.Array:
+    """Robust weighted 8-point fundamental matrix from (K, 2) correspondences.
+
+    ``weight`` masks invalid / in-box matches to zero.  After the initial
+    least-squares fit, ``irls_iters`` Cauchy-reweighting rounds on the Sampson
+    distance pull gross background outliers out of the solution (the reference
+    instead relies on OpenCV's FM_8POINT over ratio-filtered fresh matches,
+    pnpmatch.cc:302-337).  Returns F (3, 3) with rank-2 enforcement, mapping
+    p1 -> epiline in image 2 (l2 = F @ p1h).
+    """
+    F = _fit_fundamental_once(uv1, uv2, weight)
+    # Cauchy scale: generous vs the 0.1 px culling threshold so legitimate
+    # static matches keep ~full weight while multi-pixel outliers are crushed
+    c2 = jnp.float32(1.0)  # (1 px)^2
+    for _ in range(irls_iters):
+        d = sampson_distance(F, uv1, uv2)
+        w = weight / (1.0 + (d * d) / c2)
+        F = _fit_fundamental_once(uv1, uv2, w)
+    return F
 
 
 def epipolar_distance(F: jax.Array, uv1: jax.Array, uv2: jax.Array) -> jax.Array:
