@@ -96,7 +96,11 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
     st = stereo_ops.sparse_disparity(frame.left, frame.right, kp.uv, kp.valid, cam, cfg.stereo)
 
     in_box = epi_ops.in_box_mask(kp.uv, frame.boxes, frame.boxes_valid, cfg.matcher.box_margin_init)
-    create = kp.valid & st.valid & ~in_box
+    # far-point gate: stereo depth beyond ThDepth baselines is too uncertain
+    # to seed the map (ThDepth, Stereo/KITTI00-02.yaml:31 — vestigial in the
+    # reference's code but honored here as the ORB-SLAM close/far semantics)
+    near = st.depth <= (cfg.camera.bf / cfg.camera.fx) * cfg.camera.th_depth
+    create = kp.valid & st.valid & near & ~in_box
 
     t = jnp.maximum(state.frame_idx + 1, 0)
     T_cw = state.T_cw  # identity on a fresh state; current pose on reseed
@@ -239,7 +243,9 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
 
     # ---- 7. map maintenance -------------------------------------------------
     in_box_create = epi_ops.in_box_mask(kp.uv, frame.boxes, frame.boxes_valid, cfg.matcher.box_margin_init)
-    create = kp.valid & st.valid & ~has_obs & ~in_box_create
+    # same ThDepth far-point creation gate as init_step
+    near = st.depth <= (cfg.camera.bf / cfg.camera.fx) * cfg.camera.th_depth
+    create = kp.valid & st.valid & near & ~has_obs & ~in_box_create
     T_wc = lie.T_inv(T_cw)
     Xc = backproject(cam, kp.uv, st.depth)
     Xw_new = lie.transform_points(T_wc, Xc[None])[0]

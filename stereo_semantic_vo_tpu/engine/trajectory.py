@@ -1,11 +1,15 @@
 """Trajectory recording and KITTI/TUM file output.
 
-Byte-format-compatible with the reference's writers
-(Tracking::SaveTrajectoryAndDraw, src/Tracking.cc:124-136):
+Same layouts as the reference's writers (Tracking::SaveTrajectoryAndDraw,
+src/Tracking.cc:124-136), parseable by the same tools (evo, KITTI devkit):
 
 * KITTI: 12 numbers per line — row-major 3x4 [Rwc | twc] — at 9 decimals.
 * TUM:   ``timestamp tx ty tz qx qy qz qw`` — timestamp at 6 decimals,
   the rest at 7 (cf. Stereo/cameratrajectory_{kitti,tum}.txt samples).
+
+Not byte-identical: the reference streams through ``setprecision(9)`` (9
+*significant* digits, default C++ float format), we write fixed 9-*decimal*
+notation — equivalent information, different trailing-digit layout.
 
 Kept host-side (plain numpy + file IO): trajectory writing is the reference's
 per-frame ``ofstream`` append, which must not sync the device pipeline.

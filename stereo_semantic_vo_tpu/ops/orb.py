@@ -70,10 +70,15 @@ def brief_pattern(seed: int, n_bits: int = 256, patch: int = 31) -> np.ndarray:
     return pts
 
 
-def _fast_score(img: jax.Array, threshold: float) -> jax.Array:
-    """FAST-9/16 corner response for every pixel. img: (H, W) float32 [0,255].
+def _fast_score(img: jax.Array, *thresholds: float) -> list[jax.Array]:
+    """FAST-9/16 corner response for every pixel at one or more thresholds.
+    img: (H, W) float32 [0,255].
 
-    Returns (H, W) float32 score (0 where not a corner).
+    The circle gather (16 rolls) is the expensive part and is shared across
+    thresholds — the reference's two-threshold detect (iniThFAST with a
+    minThFAST retry for weak cells, ORBextractor semantics driven by
+    KITTI00-02.yaml:38-42) costs only the cheap classify/score stage twice.
+    Returns one (H, W) float32 score per threshold (0 where not a corner).
     """
     center = img
     # (16, H, W) circle samples via rolls (borders masked by caller)
@@ -81,8 +86,6 @@ def _fast_score(img: jax.Array, threshold: float) -> jax.Array:
         [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in _CIRCLE]
     )
     diff = circ - center[None]
-    brighter = diff > threshold
-    darker = diff < -threshold
 
     # circular >= _ARC run detection on packed 16-bit masks: duplicate the
     # ring (m | m<<16) and AND 9 shifted copies — ~18 integer ops instead of
@@ -98,11 +101,16 @@ def _fast_score(img: jax.Array, threshold: float) -> jax.Array:
             run = run & (m2 >> k)
         return (run & jnp.uint32(0xFFFF)) != 0
 
-    is_corner = arc_any(brighter) | arc_any(darker)
-    # response: sum of |diff| - t over the classified samples (NMS ranking)
-    sb = jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0)
-    sd = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
-    return jnp.where(is_corner, jnp.maximum(sb, sd), 0.0)
+    scores = []
+    for threshold in thresholds:
+        brighter = diff > threshold
+        darker = diff < -threshold
+        is_corner = arc_any(brighter) | arc_any(darker)
+        # response: sum of |diff| - t over the classified samples (NMS ranking)
+        sb = jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0)
+        sd = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
+        scores.append(jnp.where(is_corner, jnp.maximum(sb, sd), 0.0))
+    return scores
 
 
 def _nms3(score: jax.Array) -> jax.Array:
@@ -213,19 +221,38 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
     n_cand = 2 * cfg.max_keypoints
     budgets = _level_budgets(cfg, n_cand)
 
-    all_uv, all_score, all_angle, all_level, all_desc, all_valid = [], [], [], [], [], []
+    all_uv, all_rank, all_score, all_angle, all_level, all_desc, all_valid = (
+        [], [], [], [], [], [], [],
+    )
+    # strong (iniThFAST) corners must always outrank weak-cell (minThFAST)
+    # fallbacks, both inside a grid cell and in the global top-K
+    bonus = jnp.float32(1e6)
     img_l = image
     for level in range(cfg.n_levels):
         Hl, Wl = img_l.shape
-        score = _fast_score(img_l, float(cfg.fast_threshold))
+        two_pass = cfg.fast_min_threshold < cfg.fast_threshold
+        ths = (
+            (float(cfg.fast_threshold), float(cfg.fast_min_threshold))
+            if two_pass
+            else (float(cfg.fast_threshold),)
+        )
+        scores = _fast_score(img_l, *ths)
         # kill borders (circle radius + descriptor patch)
         b = cfg.border
         border_mask = jnp.zeros((Hl, Wl), bool).at[b : Hl - b, b : Wl - b].set(True)
-        score = jnp.where(border_mask, score, 0.0)
-        score = _nms3(score)
+        scores = [_nms3(jnp.where(border_mask, sc, 0.0)) for sc in scores]
+        if two_pass:
+            hi, lo = scores
+            # the minThFAST retry for cells the strong pass left empty
+            # (ORBextractor's per-cell fallback): strong corners carry a rank
+            # bonus so weak ones only fill otherwise-unused slots
+            resp = jnp.where(hi > 0.0, hi, lo)
+            rank = jnp.where(hi > 0.0, hi + bonus, lo)
+        else:
+            resp = rank = scores[0]
 
         k_cell = max(1, math.ceil(budgets[level] / (cfg.grid_rows * cfg.grid_cols)))
-        flat_idx, s = _grid_topk(score, cfg.grid_rows, cfg.grid_cols, k_cell)
+        flat_idx, s = _grid_topk(rank, cfg.grid_rows, cfg.grid_cols, k_cell)
         py = (flat_idx // Wl).astype(jnp.int32)
         px = (flat_idx % Wl).astype(jnp.int32)
         valid = s > 0.0
@@ -243,7 +270,8 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
         scale = cfg.scale_factor**level
         uv0 = xy.astype(jnp.float32) * scale
         all_uv.append(uv0)
-        all_score.append(s)
+        all_rank.append(s)
+        all_score.append(resp.reshape(-1)[flat_idx])  # bonus-free response
         all_angle.append(angle)
         all_level.append(jnp.full(s.shape, level, jnp.int32))
         all_desc.append(desc)
@@ -255,20 +283,22 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
             img_l = jax.image.resize(img_l, (Hn, Wn), "linear")
 
     uv = jnp.concatenate(all_uv)
+    rank = jnp.concatenate(all_rank)
     score = jnp.concatenate(all_score)
     angle = jnp.concatenate(all_angle)
     level = jnp.concatenate(all_level)
     desc = jnp.concatenate(all_desc)
     valid = jnp.concatenate(all_valid)
 
-    # global top-K by response among valid candidates
-    ranked = jnp.where(valid, score, -1.0)
-    top_s, top_i = jax.lax.top_k(ranked, cfg.max_keypoints)
+    # global top-K among valid candidates: strong corners first (rank bonus),
+    # weak-cell fallbacks fill remaining capacity
+    ranked = jnp.where(valid, rank, -1.0)
+    top_r, top_i = jax.lax.top_k(ranked, cfg.max_keypoints)
     return Keypoints(
         uv=uv[top_i],
-        response=top_s,
+        response=score[top_i],
         angle=angle[top_i],
         level=level[top_i],
-        valid=top_s > 0.0,
+        valid=top_r > 0.0,
         desc=desc[top_i],
     )

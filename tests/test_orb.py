@@ -134,3 +134,54 @@ class TestRotationInvariance:
         expect = np.stack([uv1[matched, 1], W - 1 - uv1[matched, 0]], axis=1)
         err = np.linalg.norm(uv2[matched] - expect, axis=1)
         assert np.median(err) < 1.0
+
+
+class TestMinThresholdFallback:
+    """The reference's two-threshold detect: iniThFAST=20 normally, minThFAST
+    as a retry for cells the strong pass leaves empty (KITTI00-02.yaml:38-42
+    intent).  Weak-contrast corners (between the two thresholds) must be
+    picked up only where strong ones are absent, and never displace them."""
+
+    def _half_and_half(self):
+        # left half: strong squares (contrast >> 20); right half: faint
+        # squares whose contrast sits between minThFAST(7) and iniThFAST(20)
+        img = np.full((256, 320), 100.0, np.float32)
+        rng = np.random.RandomState(11)
+        for _ in range(12):
+            y, x = rng.randint(30, 200), rng.randint(30, 120)
+            img[y : y + 14, x : x + 14] = 255.0
+        for _ in range(12):
+            y, x = rng.randint(30, 200), rng.randint(190, 280)
+            img[y : y + 14, x : x + 14] = 114.0  # +14: detectable only at t=7
+        return jnp.asarray(img)
+
+    def test_weak_cells_filled(self):
+        img = self._half_and_half()
+        cfg_fb = ORBConfig(max_keypoints=256, n_levels=1, fast_threshold=20, fast_min_threshold=7)
+        cfg_no = ORBConfig(max_keypoints=256, n_levels=1, fast_threshold=20, fast_min_threshold=20)
+        kp_fb = orb.extract_orb(img, cfg_fb)
+        kp_no = orb.extract_orb(img, cfg_no)
+        right_fb = int((kp_fb.valid & (kp_fb.uv[:, 0] > 170)).sum())
+        right_no = int((kp_no.valid & (kp_no.uv[:, 0] > 170)).sum())
+        assert right_no == 0, "faint corners should be invisible at iniThFAST"
+        assert right_fb > 8, "minThFAST fallback should recover the faint half"
+
+    def test_strong_corners_not_displaced(self):
+        img = self._half_and_half()
+        cfg_fb = ORBConfig(max_keypoints=256, n_levels=1, fast_threshold=20, fast_min_threshold=7)
+        cfg_no = ORBConfig(max_keypoints=256, n_levels=1, fast_threshold=20, fast_min_threshold=20)
+        kp_fb = orb.extract_orb(img, cfg_fb)
+        kp_no = orb.extract_orb(img, cfg_no)
+        strong_no = {
+            (round(float(x)), round(float(y)))
+            for (x, y), v in zip(np.asarray(kp_no.uv), np.asarray(kp_no.valid))
+            if v
+        }
+        strong_fb = {
+            (round(float(x)), round(float(y)))
+            for (x, y), v, r in zip(
+                np.asarray(kp_fb.uv), np.asarray(kp_fb.valid), np.asarray(kp_fb.response)
+            )
+            if v
+        }
+        assert strong_no <= strong_fb, "fallback must only add keypoints"

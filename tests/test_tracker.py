@@ -120,3 +120,28 @@ class TestTrackerSynthetic:
         state, out = track_step(state, frame, CFG)
         assert bool(out.pnp_ok)
         assert np.linalg.norm(np.asarray(out.T_wc)[:3, 3]) < 0.02
+
+
+class TestDepthGate:
+    def test_th_depth_blocks_far_points(self):
+        """ThDepth (Stereo/KITTI00-02.yaml:31): points beyond th_depth
+        baselines are too uncertain to seed the map.  The far plane sits at
+        Z1 = 2.5 m = 12.5 baselines; gating at 10 baselines must exclude it
+        while the near plane (6.25 baselines) still seeds."""
+        boxes, bv = empty_boxes()
+        frame = FrameInput(*render(0), boxes, bv)
+
+        cfg_all = CFG
+        cfg_near = dataclasses.replace(
+            CFG, camera=dataclasses.replace(CAM, th_depth=10.0)
+        )
+        _, out_all = init_step(init_state(cfg_all), frame, cfg_all)
+        state_near, out_near = init_step(init_state(cfg_near), frame, cfg_near)
+
+        assert int(out_near.n_new_points) < int(out_all.n_new_points)
+        # surviving creations are (essentially) all on the near bottom-half
+        # plane — coarse-pyramid keypoints straddling the plane boundary may
+        # inherit mixed disparities, hence the small tolerance
+        uv_y = np.asarray(out_near.kp_uv)[np.asarray(out_near.obs_valid), 1]
+        assert uv_y.size > 0
+        assert (uv_y > H // 2 - 10).mean() > 0.9
