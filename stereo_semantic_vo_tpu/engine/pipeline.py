@@ -57,9 +57,19 @@ class VOPipeline:
         local_ba_every: int = 0,
         ba_mesh=None,
         reinit_after_lost: int = 3,
+        async_detect: bool = True,
     ):
         self.cfg = cfg
         self.detector = detector
+        # asynchronous online semantics: the TPU-native analogue of the
+        # reference's detector thread (src/semantic.cc:13-45, main.cpp:152).
+        # Frame t tracks with the boxes detected on frame t-1 (the same one
+        # -frame staleness the reference's thread exhibits); detection for
+        # frame t is dispatched *after* the tracking step with no host sync,
+        # so the CNN runs while the host prepares frame t+1 instead of
+        # blocking the tracking dispatch.
+        self.async_detect = async_detect
+        self._det_pending: tuple[jax.Array, jax.Array] | None = None
         self.state = init_state(cfg)
         self.local_ba_every = local_ba_every
         # tracking-lost recovery: reseed the map after N consecutive PnP
@@ -98,6 +108,27 @@ class VOPipeline:
         valid[: len(v)] = v
         return boxes, valid
 
+    def _detect_async(self, left: jax.Array) -> None:
+        """Dispatch detection for this frame; results consumed next frame.
+        Stays on device — no host sync anywhere on this path."""
+        det = self.detector.detect(left / 255.0)
+        nb = self.cfg.semantic.max_boxes
+        boxes, valid = det.boxes, det.valid
+        n = boxes.shape[0]
+        if n >= nb:
+            boxes, valid = boxes[:nb], valid[:nb]
+        else:
+            boxes = jnp.zeros((nb, 4), jnp.float32).at[:n].set(boxes)
+            valid = jnp.zeros((nb,), bool).at[:n].set(valid)
+        self._det_pending = (boxes, valid)
+
+    def _stale_boxes(self) -> tuple[jax.Array, jax.Array]:
+        """Previous frame's detections (or empty on the first frame)."""
+        if self._det_pending is not None:
+            return self._det_pending
+        nb = self.cfg.semantic.max_boxes
+        return jnp.zeros((nb, 4), jnp.float32), jnp.zeros((nb,), bool)
+
     def process_frame(
         self,
         left: np.ndarray,
@@ -107,15 +138,20 @@ class VOPipeline:
         timestamp: float,
     ):
         t0 = time.perf_counter()
+        left_dev = jnp.asarray(left)
+        dispatch_detect = False
         if boxes is None:
-            if self.detector is not None:
+            if self.detector is not None and self.async_detect:
+                boxes, boxes_valid = self._stale_boxes()
+                dispatch_detect = True
+            elif self.detector is not None:
                 boxes, boxes_valid = self._detect(left)
             else:
                 nb = self.cfg.semantic.max_boxes
                 boxes = np.zeros((nb, 4), np.float32)
                 boxes_valid = np.zeros(nb, bool)
         frame = FrameInput(
-            left=jnp.asarray(left),
+            left=left_dev,
             right=jnp.asarray(right),
             boxes=jnp.asarray(boxes),
             boxes_valid=jnp.asarray(boxes_valid),
@@ -132,6 +168,11 @@ class VOPipeline:
         else:
             self.state, out = track_step(self.state, frame, self.cfg)
         self._n_processed += 1
+        if dispatch_detect:
+            # enqueue the CNN after the tracking step: same device stream, so
+            # tracking never waits on it, and it completes while the host
+            # stages frame t+1 (used by that frame's tracking step)
+            self._detect_async(left_dev)
 
         if self.window_ba is not None:
             self.window_ba.push(out)

@@ -56,3 +56,26 @@ class TestOnlinePipeline:
         pipe.flush()
         assert len(pipe.outputs) == 3
         assert bool(pipe.outputs[-1].pnp_ok)
+
+    def test_pipeline_async_detector_one_frame_late(self):
+        """async_detect=True: frame t tracks with frame t-1's boxes (the
+        reference detector-thread staleness, semantic.cc:13-45) and no host
+        sync happens on the detection path; culling still fires downstream
+        (the one-frame-late scenario of test_semantic_culling)."""
+        from stereo_semantic_vo_tpu.engine.pipeline import VOPipeline
+        from tests.test_tracker import CFG, render
+
+        det = zoo.kitti_tiny_v2(conf_threshold=0.01, max_boxes=CFG.semantic.max_boxes)
+        pipe = VOPipeline(
+            CFG, detector=det, out_dir=None, write_trajectory=False, async_detect=True
+        )
+        for t in range(3):
+            left, right = render(t)
+            pipe.process_frame(np.asarray(left), np.asarray(right), None, None, t * 0.1)
+        pipe.flush()
+        assert len(pipe.outputs) == 3
+        assert bool(pipe.outputs[-1].pnp_ok)
+        # detection results are device arrays pending for the *next* frame
+        assert pipe._det_pending is not None
+        boxes, valid = pipe._det_pending
+        assert boxes.shape == (CFG.semantic.max_boxes, 4)
