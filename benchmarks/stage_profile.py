@@ -1,12 +1,17 @@
 """Per-stage device-time profile of the tracking step.
 
-Methodology: the axon tunnel adds ~20 ms of per-dispatch latency, so wall
--clocking one call measures the tunnel, not the op.  Each stage is timed as a
-32-iteration ``lax.scan`` inside ONE jitted program with a carry-fed data
-dependence (so XLA cannot hoist the body), then per-iteration cost =
-(median wall - dispatch overhead) / 32 where the overhead is measured with an
-empty scan.  The fused full step is timed the same way (it already scans via
-the state dependence).
+Methodology (axon tunnel — see docs/PERFORMANCE.md "Measurement notes"):
+
+* any host sync costs a ~26-45 ms tunnel round trip, so each stage is timed
+  as an N_ITER ``lax.scan`` inside ONE jitted program with a carry-fed data
+  dependence (XLA cannot hoist the body, and per-iteration dispatch is free);
+* the server caches results of repeated identical (program, inputs)
+  dispatches, so every dispatch carries a novel scalar salt;
+* ``block_until_ready``'s round trip is long enough to hide sub-40 ms
+  programs entirely, so completion is a scalar VALUE readback
+  (``float(...)``) — the response cannot be formed before the value exists;
+* per-iteration cost = (median wall - floor) / N_ITER, floor = the same
+  readback on a trivial carry-only scan (pure RTT).
 
 Writes benchmarks/stage_profile.json and prints a table.
 Run on the TPU: python benchmarks/stage_profile.py
@@ -28,39 +33,51 @@ N_ITER = 128
 REPS = 5
 
 
-def _wall(fn, *args):
-    import jax
+def _wall(run, *args):
+    """run(*args, salt) -> scalar; median wall of REPS salted dispatches,
+    each completed by a scalar value readback."""
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(*args))  # compile
+    float(run(*args, jnp.float32(-1.0)))  # compile
     ts = []
-    for _ in range(REPS):
+    for r in range(REPS):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(run(*args, jnp.float32(r + 1)))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
-def scan_time_ms(body, feed, overhead_s):
-    """body: (perturb_scalar,) -> arrays; feed: pytree of inputs closed over.
-    Returns per-iteration ms with dispatch overhead removed."""
+def make_scan_timer():
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run():
-        def step(eps, _):
-            out = body(eps)
-            # fold a near-zero reduction of the output back into the carry so
-            # every iteration depends on the previous one (defeats hoisting)
-            leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
-            acc = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-            return acc * jnp.float32(1e-30), ()
+    def trivial(x, salt):
+        def step(c, _):
+            return c + jnp.float32(1.0), ()
 
-        eps, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=N_ITER)
-        return eps
+        c, _ = jax.lax.scan(step, jnp.sum(x) * 1e-30 + salt, None, length=N_ITER)
+        return c
 
-    total = _wall(run)
-    return max(total - overhead_s, 0.0) / N_ITER * 1e3
+    floor = _wall(trivial, jnp.zeros((8, 128), jnp.float32))
+
+    def scan_ms(body):
+        """body(eps) -> pytree of arrays; per-iteration ms."""
+
+        @jax.jit
+        def run(salt):
+            def step(eps, _):
+                out = body(eps)
+                leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+                acc = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+                return acc * jnp.float32(1e-30) + salt * jnp.float32(1e-20), ()
+
+            eps, _ = jax.lax.scan(step, salt * jnp.float32(1e-6), None, length=N_ITER)
+            return eps
+
+        return max(_wall(run) - floor, 0.0) / N_ITER * 1e3
+
+    return scan_ms, floor
 
 
 def main() -> None:
@@ -93,37 +110,19 @@ def main() -> None:
     left = jnp.asarray(tex[:, :W])
     right = jnp.asarray(np.roll(tex[:, :W], -16, axis=1))
 
-    # dispatch-overhead floor: a near-trivial program that still touches a
-    # real input tensor (a literal-only program constant-folds and measures
-    # the result cache, not the dispatch path — the axon tunnel here costs
-    # ~20-25 ms per dispatch)
-    probe = jnp.zeros((8, 128), jnp.float32)
-
-    @jax.jit
-    def trivial(x):
-        def step(c, _):
-            return c + jnp.float32(1.0), ()
-
-        c, _ = jax.lax.scan(step, jnp.sum(x), None, length=N_ITER)
-        return c
-
-    overhead = _wall(trivial, probe)
-    results: dict[str, float] = {"dispatch_overhead_ms": overhead * 1e3}
+    scan_ms, floor = make_scan_timer()
+    results: dict[str, float] = {"sync_floor_ms": floor * 1e3}
 
     kp = jax.jit(functools.partial(orb_ops.extract_orb, cfg=cfg.orb))(left)
     kp_pm1 = hamming.unpack_descriptors_pm1(kp.desc)
     map_pm1 = jnp.concatenate([kp_pm1] * (M // K))
     map_valid = jnp.ones((M,), bool)
 
-    results["orb_extract"] = scan_time_ms(
-        lambda e: orb_ops.extract_orb(left + e, cfg.orb), None, overhead
-    )
-    results[f"sparse_stereo[{cfg.stereo.sparse_mode}]"] = scan_time_ms(
+    results["orb_extract"] = scan_ms(lambda e: orb_ops.extract_orb(left + e, cfg.orb))
+    results[f"sparse_stereo[{cfg.stereo.sparse_mode}]"] = scan_ms(
         lambda e: stereo_ops.sparse_disparity(
             left + e, right + e, kp.uv, kp.valid, cam, cfg.stereo
-        ),
-        None,
-        overhead,
+        )
     )
 
     def match_body(e):
@@ -134,7 +133,7 @@ def main() -> None:
         r2 = hamming.masked_best_match(d_map, kp.valid, map_valid)
         return r1 + r2
 
-    results["hamming_match_both"] = scan_time_ms(match_body, None, overhead)
+    results["hamming_match_both"] = scan_ms(match_body)
 
     uv2 = kp.uv + jnp.asarray([1.0, 0.0])
 
@@ -142,7 +141,7 @@ def main() -> None:
         F = epi_ops.fit_fundamental(kp.uv + e, uv2, kp.valid.astype(jnp.float32))
         return (epi_ops.epipolar_distance(F, kp.uv, uv2),)
 
-    results["dynamic_culling_F"] = scan_time_ms(cull_body, None, overhead)
+    results["dynamic_culling_F"] = scan_ms(cull_body)
 
     Xw = jnp.asarray(
         np.stack(
@@ -168,13 +167,13 @@ def main() -> None:
         )
         return (r.T_cw, r.n_inliers)
 
-    results["ransac_pnp"] = scan_time_ms(pnp_body, None, overhead)
+    results["ransac_pnp"] = scan_ms(pnp_body)
 
     def ba_body(e):
         r = ba_ops.motion_only_ba(eye, Xw + e, uv_obs, inmask, cam, cfg.ba)
         return (r.T_cw,)
 
-    results["motion_ba_10it"] = scan_time_ms(ba_body, None, overhead)
+    results["motion_ba_10it"] = scan_ms(ba_body)
 
     # fused full step, scanned through the state dependence
     state = init_state(cfg)
@@ -188,21 +187,22 @@ def main() -> None:
     state, _ = jax.jit(functools.partial(init_step, cfg=cfg))(state, frame)
 
     @jax.jit
-    def full_scan(s0):
+    def full_scan(s0, salt):
         def step(s, _):
-            s2, out = track_step(s, frame, cfg)
+            f = frame._replace(left=frame.left + salt * jnp.float32(1e-20))
+            s2, out = track_step(s, f, cfg)
             return s2, out.T_cw
 
         s2, poses = jax.lax.scan(step, s0, None, length=N_ITER)
-        return poses
+        return jnp.sum(poses)
 
     total = _wall(full_scan, state)
-    results["FULL_track_step"] = max(total - overhead, 0.0) / N_ITER * 1e3
+    results["FULL_track_step"] = max(total - floor, 0.0) / N_ITER * 1e3
 
     ssum = sum(
         v
         for k, v in results.items()
-        if k not in ("FULL_track_step", "dispatch_overhead_ms")
+        if k not in ("FULL_track_step", "sync_floor_ms")
     )
     print(f"\n{'stage':34s} {'ms/iter':>8s}")
     for k, v in results.items():

@@ -77,6 +77,8 @@ class ORBConfig:
     steer: bool = True                # rotate the pattern by the IC angle
                                       # (False = upright BRIEF: more stable
                                       # bits when the platform has no roll)
+    fast_backend: str = "xla"         # "xla" (rolled ring stack) or "pallas"
+                                      # (tiled halo kernel, kernels/fast_score.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,6 +158,9 @@ class BAConfig:
     # local BA (sliding window poses + landmarks, Schur complement)
     local_iterations: int = 5
     max_landmarks: int = 2048
+    # normal-equation build: "xla" (einsum over a materialized (K,2,6) J)
+    # or "pallas" (fused residual+weight+J+accumulate, kernels/ba_hessian.py)
+    hessian_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

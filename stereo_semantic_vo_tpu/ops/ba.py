@@ -103,14 +103,29 @@ def motion_only_ba(
             rho = r2
         return jnp.sum(w_geom * rho), (r, w_geom, r2)
 
+    use_pallas = cfg.hessian_backend == "pallas" and use_huber
+    if use_pallas:
+        # fused build: the (K, 2, 6) Jacobian never materializes
+        # (kernels/ba_hessian.py); transposed operands prepared once
+        from stereo_semantic_vo_tpu.kernels.ba_hessian import motion_hessian_gradient
+
+        Xt = X_w.T
+        uvt = uv.T
+        maskf = m[None, :]
+
     def step(carry, _):
         T, lam, cost = carry
-        _, (r, w_geom, r2) = robust_cost(T)
-        w = w_geom * (huber_weights(r2, cfg.huber_delta) if use_huber else 1.0)
-        J = _pose_jacobian(T, X_w, cam)                       # (K, 2, 6)
-        Jw = J * w[:, None, None]
-        H = jnp.einsum("kif,kig->fg", Jw, J)                  # (6, 6)
-        g = jnp.einsum("kif,ki->f", Jw, r)                    # (6,)
+        if use_pallas:
+            H, g, _ = motion_hessian_gradient(
+                T, Xt, uvt, maskf, cam, float(cfg.huber_delta)
+            )
+        else:
+            _, (r, w_geom, r2) = robust_cost(T)
+            w = w_geom * (huber_weights(r2, cfg.huber_delta) if use_huber else 1.0)
+            J = _pose_jacobian(T, X_w, cam)                   # (K, 2, 6)
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("kif,kig->fg", Jw, J)              # (6, 6)
+            g = jnp.einsum("kif,ki->f", Jw, r)                # (6,)
         Hl = H + lam * jnp.diag(jnp.diagonal(H) + 1e-9)
         delta = -jnp.linalg.solve(Hl, g)
         T_new = lie.se3_exp(delta) @ T

@@ -35,8 +35,14 @@ from stereo_semantic_vo_tpu.kernels.median import median3x3
 
 class DenseDisparity(NamedTuple):
     disparity: jax.Array  # (H, W) float32, -1 where invalid
-    valid: jax.Array      # (H, W) bool (passed LR check, or was repaired
-                          #  by the refinement pass when cfg.refine is on)
+    valid: jax.Array      # (H, W) bool: has a usable value (measured, or
+                          #  repaired by the refinement pass when cfg.refine)
+    measured: jax.Array   # (H, W) bool: passed the LR consistency check —
+                          #  MSA's stable-pixel distinction (MSA.cpp:1027-1105).
+                          #  valid & ~measured = inpainted by refinement;
+                          #  docs/REAL_IMAGES.md shows repaired pixels agree
+                          #  with the reference at only ~0.50-0.63, so depth
+                          #  consumers (map-point creation) gate on `measured`
 
 
 def _xgrad(img: jax.Array) -> jax.Array:
@@ -44,25 +50,45 @@ def _xgrad(img: jax.Array) -> jax.Array:
 
 
 def cost_volume(
-    left: jax.Array, right: jax.Array, cfg: StereoConfig, right_base: bool = False
+    left: jax.Array,
+    right: jax.Array,
+    cfg: StereoConfig,
+    right_base: bool = False,
+    left_rgb: jax.Array | None = None,
+    right_rgb: jax.Array | None = None,
 ) -> jax.Array:
     """(H, W, D) matching cost.  cost(x, d) compares left(x) with right(x-d)
     (or right(x) with left(x+d) when ``right_base``), mixing truncated
-    absolute intensity and x-gradient differences with the MSA weights."""
+    absolute intensity and x-gradient differences with the MSA weights.
+
+    With ``left_rgb/right_rgb`` (H, W, 3) the color term is the channel-MEAN
+    absolute difference truncated after averaging — exactly MSA's 3-channel
+    cost (MSA.cpp:88-93: ``dif_col = min(sum_k |.|/3, 7.0)``); the gradient
+    term always comes from the grayscale images (MSA.cpp:53-56)."""
     D = cfg.max_disparity
     gl, gr = _xgrad(left), _xgrad(right)
+    use_rgb = left_rgb is not None and right_rgb is not None
 
     def shift(img, d):
         if right_base:
             return jnp.roll(img, -d, axis=1)   # left sampled at x+d
         return jnp.roll(img, d, axis=1)        # right sampled at x-d
 
-    base_i, base_g = (right, gr) if right_base else (left, gl)
-    match_i, match_g = (left, gl) if right_base else (right, gr)
+    if use_rgb:
+        base_i = right_rgb if right_base else left_rgb
+        match_i = left_rgb if right_base else right_rgb
+    else:
+        base_i = right if right_base else left
+        match_i = left if right_base else right
+    base_g = gr if right_base else gl
+    match_g = gl if right_base else gr
 
     costs = []
     for d in range(D):
-        ci = jnp.minimum(jnp.abs(base_i - shift(match_i, d)), cfg.color_trunc)
+        diff = jnp.abs(base_i - shift(match_i, d))
+        if use_rgb:
+            diff = jnp.mean(diff, axis=-1)
+        ci = jnp.minimum(diff, cfg.color_trunc)
         cg = jnp.minimum(jnp.abs(base_g - shift(match_g, d)), cfg.grad_trunc)
         costs.append(cfg.color_weight * ci + cfg.grad_weight * cg)
     vol = jnp.stack(costs, axis=-1)  # (H, W, D)
@@ -130,13 +156,23 @@ def _wta_subpixel(agg: jax.Array, min_disp: float) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def dense_disparity(left: jax.Array, right: jax.Array, cfg: StereoConfig) -> DenseDisparity:
-    """Full dense pipeline with LR consistency.  left/right: (H, W) float32."""
-    vol_l = cost_volume(left, right, cfg, right_base=False)
+def dense_disparity(
+    left: jax.Array,
+    right: jax.Array,
+    cfg: StereoConfig,
+    left_rgb: jax.Array | None = None,
+    right_rgb: jax.Array | None = None,
+) -> DenseDisparity:
+    """Full dense pipeline with LR consistency.  left/right: (H, W) float32
+    grayscale; optionally pass the (H, W, 3) color images for MSA's
+    3-channel color cost (cost_volume docstring)."""
+    vol_l = cost_volume(left, right, cfg, right_base=False,
+                        left_rgb=left_rgb, right_rgb=right_rgb)
     agg_l = sgm_aggregate(vol_l, cfg)
     disp_l = _wta_subpixel(agg_l, cfg.min_disparity)
 
-    vol_r = cost_volume(left, right, cfg, right_base=True)
+    vol_r = cost_volume(left, right, cfg, right_base=True,
+                        left_rgb=left_rgb, right_rgb=right_rgb)
     agg_r = sgm_aggregate(vol_r, cfg)
     disp_r = _wta_subpixel(agg_r, cfg.min_disparity)
 
@@ -150,6 +186,7 @@ def dense_disparity(left: jax.Array, right: jax.Array, cfg: StereoConfig) -> Den
     # disparity-range border: the first D columns cannot see their match
     in_range = xs - disp_l >= 0
     valid = consistent & in_range & (disp_l > cfg.min_disparity)
+    measured = valid
 
     if cfg.refine:
         # MSA's third phase (solve :1163-1167): reset the cost volume from the
@@ -179,4 +216,4 @@ def dense_disparity(left: jax.Array, right: jax.Array, cfg: StereoConfig) -> Den
 
     disp = median3x3(jnp.where(valid, disp_l, 0.0))
     disp = jnp.where(valid, disp, -1.0)
-    return DenseDisparity(disparity=disp, valid=valid)
+    return DenseDisparity(disparity=disp, valid=valid, measured=measured & valid)

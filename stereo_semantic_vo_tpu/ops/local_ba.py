@@ -99,8 +99,23 @@ def _residual_and_jacobians(poses, points, obs_uv, obs_mask, cam, huber_delta):
 
 
 def build_normal_equations(
-    poses, points, obs_uv, obs_mask, cam: Camera, huber_delta: float
+    poses, points, obs_uv, obs_mask, cam: Camera, huber_delta: float,
+    backend: str = "xla",
 ) -> NormalEq:
+    if backend == "pallas":
+        # fused landmark-block build (kernels/ba_hessian.local_ba_blocks):
+        # Jc/Jp never materialize, blocks accumulate in VMEM
+        from stereo_semantic_vo_tpu.kernels.ba_hessian import local_ba_blocks
+
+        Hcc, Hcp, Hpp, gc, gp, cost = local_ba_blocks(
+            poses,
+            points.T,
+            jnp.swapaxes(obs_uv, 1, 2),
+            obs_mask.astype(jnp.float32),
+            cam,
+            float(huber_delta),
+        )
+        return NormalEq(Hcc=Hcc, Hcp=Hcp, Hpp=Hpp, gc=gc, gp=gp, cost=cost)
     r, w, Jc, Jp, cost = _residual_and_jacobians(
         poses, points, obs_uv, obs_mask, cam, huber_delta
     )
@@ -175,7 +190,10 @@ def local_ba(
 
     def step(carry, _):
         po, pt, lam, cost = carry
-        eq = build_normal_equations(po, pt, obs_uv, obs_mask, cam, cfg.huber_delta)
+        eq = build_normal_equations(
+            po, pt, obs_uv, obs_mask, cam, cfg.huber_delta,
+            backend=cfg.hessian_backend,
+        )
         dx_c, dx_p = schur_solve(eq, lam, point_valid, fix_first_pose)
         po_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, po)
         pt_new = pt + dx_p

@@ -284,7 +284,12 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
             if two_pass
             else (float(cfg.fast_threshold),)
         )
-        scores = _fast_score(img_l, *ths)
+        if cfg.fast_backend == "pallas":
+            from stereo_semantic_vo_tpu.kernels.fast_score import fast_scores_pallas
+
+            scores = fast_scores_pallas(img_l, ths)
+        else:
+            scores = _fast_score(img_l, *ths)
         # kill borders (circle radius + descriptor patch)
         b = cfg.border
         border_mask = jnp.zeros((Hl, Wl), bool).at[b : Hl - b, b : Wl - b].set(True)

@@ -71,7 +71,10 @@ def sparse_disparity(
         xc = jnp.clip(x, 0, W - 1)
         yc = jnp.clip(y, 0, H - 1)
         disp = dd.disparity[yc, xc]
-        dvalid = dd.valid[yc, xc]
+        # gate on MEASURED (LR-consistent) pixels only: refine-repaired
+        # disparities are inpainted, not observed, and must not seed map
+        # points (MSA stable-pixel semantics, MSA.cpp:1027-1105)
+        dvalid = dd.measured[yc, xc]
         valid = kp_valid & dvalid & (disp > cfg.min_disparity)
         depth = jnp.where(valid, disparity_to_depth(cam, disp, cfg.min_disparity), 0.0)
         return StereoMatch(
@@ -122,8 +125,9 @@ def sparse_disparity(
         addressable = (x[:, None] - d_idx) >= r
         costs = jnp.where(addressable, costs, big)
     elif cfg.sparse_mode == "pallas":
-        # fused per-keypoint strip kernel (kernels/sparse_stereo.py): DMA only
-        # the strips, disparity axis on VPU lanes
+        # fused per-keypoint tile kernel (kernels/sparse_stereo.py): DMA only
+        # aligned tiles covering the strips, disparity axis on VPU lanes,
+        # gradients derived in-kernel
         from stereo_semantic_vo_tpu.kernels.sparse_stereo import keypoint_stereo_costs
 
         Ws = D + 2 * r
@@ -133,7 +137,7 @@ def sparse_disparity(
         xr0 = jnp.clip(xr0_raw, 0, W - Ws)
         shift = xr0 - xr0_raw
         acc = keypoint_stereo_costs(
-            left, right, gl, gr, y0, xl0, xr0, D, r,
+            left, right, y0, xl0, xr0, D, r,
             cfg.color_weight, cfg.grad_weight, cfg.color_trunc, cfg.grad_trunc,
         )
         costs = acc[:, ::-1]  # strip offset s = D-1-d -> disparity order

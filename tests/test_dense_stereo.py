@@ -15,6 +15,22 @@ def textured(seed, H=120, W=240):
     return convolve2d(img, np.ones((3, 3)) / 9.0, mode="same").astype(np.float32)
 
 
+def occluded_pair(seed, H=120, W=240, x_edge=120, d_bg=5, d_fg=30):
+    """Stereo pair with a real occlusion: a near surface (d_fg) right of
+    ``x_edge`` overwrites the far surface's (d_bg) matches in the right
+    image, so left pixels just left of the edge have no true match and the
+    LR check must fail there."""
+    left = textured(seed, H, W)
+    rng = np.random.RandomState(seed + 1000)
+    right = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    for x in range(W):  # ascending: the near surface overwrites (wins)
+        d = d_bg if x < x_edge else d_fg
+        xr = x - d
+        if 0 <= xr < W:
+            right[:, xr] = left[:, x]
+    return left, right
+
+
 class TestMedian:
     def test_median3_constant(self):
         img = jnp.full((16, 16), 7.0)
@@ -81,3 +97,48 @@ class TestDenseDisparity:
         valid = np.asarray(out.valid)
         # invalid pixels carry the -1 sentinel
         assert (disp[~valid] == -1.0).all()
+
+    def test_measured_excludes_repaired(self):
+        """With refine on, `valid` includes inpainted pixels but `measured`
+        only LR-consistent ones (MSA stable-pixel semantics)."""
+        left, right = occluded_pair(3)
+        out = dense_disparity(jnp.asarray(left), jnp.asarray(right), CFG)
+        valid = np.asarray(out.valid)
+        measured = np.asarray(out.measured)
+        # measured is a strict subset of valid, and refinement repaired some
+        assert (measured <= valid).all()
+        repaired = valid & ~measured
+        assert repaired.sum() > 0
+        # the occluded band (left pixels [x_edge-(d_fg-d_bg), x_edge)) is
+        # mostly not measured
+        region = measured[10:-10, 97:118]
+        assert region.mean() < 0.5
+
+    def test_dense_sparse_mode_gates_on_measured(self):
+        """Map-point depth through sparse_mode='dense' must reject keypoints
+        whose disparity was inpainted by the refinement pass."""
+        import dataclasses
+
+        from stereo_semantic_vo_tpu.core import Camera, CameraConfig
+        from stereo_semantic_vo_tpu.ops.stereo import sparse_disparity
+
+        left, right = occluded_pair(4)
+        cfg = dataclasses.replace(CFG, sparse_mode="dense")
+        dd = dense_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+        repaired = np.asarray(dd.valid) & ~np.asarray(dd.measured)
+        # keep away from image borders so keypoint clipping can't move them
+        repaired[:5] = repaired[-5:] = False
+        repaired[:, :5] = repaired[:, -5:] = False
+        ys, xs = np.nonzero(repaired)
+        assert len(ys) > 0
+        uv = jnp.asarray(
+            np.stack([xs[:64], ys[:64]], axis=-1).astype(np.float32)
+        )
+        cam = Camera.from_config(CameraConfig())
+        st = sparse_disparity(
+            jnp.asarray(left), jnp.asarray(right), uv,
+            jnp.ones(uv.shape[0], bool), cam, cfg,
+        )
+        assert not bool(np.asarray(st.valid).any()), (
+            "repaired (inpainted) pixels must not produce valid stereo depth"
+        )
