@@ -201,18 +201,28 @@ class VOConfig:
 
     @classmethod
     def kitti(cls, sequence: str = "00") -> "VOConfig":
-        """KITTI intrinsics + the TPU-tuned execution backends (MXU matmul
-        matching, whole-image cost-volume stereo, upright BRIEF — measured
-        fastest on v5e).  Upright (steer=False) turns description into two
-        static one-hot MXU matmuls (~4x faster extraction) and is *more*
-        stable than steered BRIEF on a roll-free vehicle platform."""
+        """KITTI intrinsics + the measured-winner execution backends.
+
+        Winners per benchmarks/kernel_bench.json (TPU v5e, on-chip scan
+        timing — see docs/PERFORMANCE.md "Kernel backends"): Pallas fused
+        matcher (2.1x over the MXU matmul form), Pallas tile sparse-stereo
+        kernel (14x over the cost-volume form), XLA FAST scoring, XLA BA
+        build.  The Pallas kernels run in interpreter mode off-TPU, which is
+        a correctness path, not a production one — on CPU the defaults fall
+        back to the fastest compiled XLA formulations.  Upright BRIEF
+        (steer=False) turns description into two static one-hot MXU matmuls
+        (~4x faster extraction) and is *more* stable than steered BRIEF on a
+        roll-free vehicle platform."""
         seq = int(sequence)
         cam = CameraConfig.kitti_00_02() if seq <= 3 else CameraConfig.kitti_04_12()
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
         return cls(
             camera=cam,
             orb=ORBConfig(steer=False),
-            matcher=MatcherConfig(backend="mxu"),
-            stereo=StereoConfig(sparse_mode="volume"),
+            matcher=MatcherConfig(backend="pallas" if on_tpu else "mxu"),
+            stereo=StereoConfig(sparse_mode="pallas" if on_tpu else "volume"),
         )
 
     @property

@@ -40,6 +40,7 @@ from stereo_semantic_vo_tpu.ops import epipolar as epi_ops
 from stereo_semantic_vo_tpu.ops import orb as orb_ops
 from stereo_semantic_vo_tpu.ops import pnp as pnp_ops
 from stereo_semantic_vo_tpu.ops import stereo as stereo_ops
+from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
 _BIG = jnp.int32(1 << 30)
 
@@ -82,6 +83,7 @@ def _set_region(arr, region_frame, K, W, src):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_geometry
 def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState, TrackOutputs]:
     """Map (re)initialization.
 
@@ -143,6 +145,7 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+@f32_geometry
 def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState, TrackOutputs]:
     cam = Camera.from_config(cfg.camera)
     K = cfg.orb.max_keypoints

@@ -31,6 +31,7 @@ from stereo_semantic_vo_tpu.core.camera import Camera
 from stereo_semantic_vo_tpu.core.config import VOConfig
 from stereo_semantic_vo_tpu.engine.state import VOState
 from stereo_semantic_vo_tpu.ops import local_ba as local_ba_ops
+from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
 
 class ObsTensors(NamedTuple):
@@ -43,6 +44,7 @@ class ObsTensors(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("W", "K"))
+@f32_geometry
 def build_observations(
     map_uid: jax.Array,     # (M,)
     map_valid: jax.Array,   # (M,)

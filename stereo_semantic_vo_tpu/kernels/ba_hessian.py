@@ -164,7 +164,7 @@ def _local_kernel(F: int, delta: float):
         Hpp = [[zrow] * 3 for _ in range(3)]
         gp = [zrow] * 3
         hcp_rows = []       # 18 rows per frame, frame-major
-        pose_rows = []      # (F, 8, 8) contribution of this block
+        all_cells = []      # per-frame 8x8 cell grids ((1,1) entries)
         cost = zero11
 
         for f in range(F):
@@ -204,17 +204,19 @@ def _local_kernel(F: int, delta: float):
                     if b != a:
                         cells[b][a] = s
                 cells[a][6] = jnp.sum(w * (Ju[a] * ru + Jv[a] * rv), keepdims=True)
-            pose_rows.append(
-                jnp.concatenate(
-                    [jnp.concatenate(c, axis=1) for c in cells], axis=0
-                )
-            )
+            all_cells.append(cells)
 
         per_l = [Hpp[a][b] for a in range(3) for b in range(3)] + gp + hcp_rows
         pl_ref[:] = jnp.concatenate(per_l, axis=0)
 
-        contrib = jnp.stack(pose_rows)  # (F, 8, 8)
-        contrib = contrib.at[0, 6, 0].add(cost[0, 0])
+        # the block's robust-cost total rides in frame 0's (6, 0) cell —
+        # written at concat time (a traced .at[].add inside the kernel would
+        # lower to scatter-add, which Mosaic does not implement)
+        all_cells[0][6][0] = cost
+        contrib = jnp.stack([
+            jnp.concatenate([jnp.concatenate(c, axis=1) for c in cells], axis=0)
+            for cells in all_cells
+        ])  # (F, 8, 8)
 
         @pl.when(i == 0)
         def _():

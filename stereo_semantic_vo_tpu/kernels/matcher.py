@@ -33,8 +33,14 @@ def _matcher_kernel(q_ref, t_ref, qv_ref, tv_ref, code_ref, second_ref):
     tv = tv_ref[:]        # (T, 1) int32
     T = t.shape[0]
 
-    x = jnp.bitwise_xor(q[:, None, :], t[None, :, :])
-    d = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)  # (BQ, T)
+    # accumulate one descriptor word at a time: the obvious broadcast
+    # q[:,None,:] ^ t[None,:,:] stacks a (BQ, T, 8) temporary (and its
+    # popcount twin) in scoped VMEM — 37 MB at T=2048, over the 16 MB
+    # limit.  Word-wise accumulation keeps every temporary at (BQ, T).
+    d = jnp.zeros((q.shape[0], T), jnp.int32)
+    for w in range(q.shape[1]):
+        x = jnp.bitwise_xor(q[:, w][:, None], t[:, w][None, :])
+        d = d + jax.lax.population_count(x).astype(jnp.int32)  # (BQ, T)
     valid = (qv > 0) & (tv[:, 0][None, :] > 0)
     d = jnp.where(valid, d, _BIG_D)
 

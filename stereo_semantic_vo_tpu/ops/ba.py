@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from stereo_semantic_vo_tpu.core import lie
 from stereo_semantic_vo_tpu.core.camera import Camera
 from stereo_semantic_vo_tpu.core.config import BAConfig
+from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
 
 class BAResult(NamedTuple):
@@ -76,6 +77,7 @@ def _pose_jacobian(T_cw: jax.Array, X_w: jax.Array, cam: Camera) -> jax.Array:
     return jnp.stack([du, dv], axis=-2)
 
 
+@f32_geometry
 def motion_only_ba(
     T0_cw: jax.Array,
     X_w: jax.Array,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
 
 def _normalize_points(uv: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -74,6 +75,7 @@ def sampson_distance(F: jax.Array, uv1: jax.Array, uv2: jax.Array) -> jax.Array:
     return jnp.abs(e) / jnp.sqrt(den + 1e-12)
 
 
+@f32_geometry
 def fit_fundamental(
     uv1: jax.Array, uv2: jax.Array, weight: jax.Array, irls_iters: int = 3
 ) -> jax.Array:

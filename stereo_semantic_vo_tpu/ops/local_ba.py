@@ -34,6 +34,7 @@ from stereo_semantic_vo_tpu.core import lie
 from stereo_semantic_vo_tpu.core.camera import Camera
 from stereo_semantic_vo_tpu.core.config import BAConfig
 from stereo_semantic_vo_tpu.ops.ba import huber_weights
+from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
 _GAUGE_PRIOR = 1e8
 
@@ -98,6 +99,7 @@ def _residual_and_jacobians(poses, points, obs_uv, obs_mask, cam, huber_delta):
     return r, w, Jc, Jp, cost
 
 
+@f32_geometry
 def build_normal_equations(
     poses, points, obs_uv, obs_mask, cam: Camera, huber_delta: float,
     backend: str = "xla",
@@ -135,6 +137,7 @@ def _damp(H: jax.Array, lam: jax.Array) -> jax.Array:
     return H + lam * jnp.eye(n, dtype=H.dtype) * (diag[..., None, :] + 1e-6)
 
 
+@f32_geometry
 def schur_solve(
     eq: NormalEq, lam: jax.Array, point_valid: jax.Array, fix_first_pose: bool = True
 ) -> tuple[jax.Array, jax.Array]:
@@ -169,6 +172,7 @@ def schur_solve(
     return dx_c, dx_p
 
 
+@f32_geometry
 def local_ba(
     poses: jax.Array,
     points: jax.Array,

@@ -20,6 +20,7 @@ from stereo_semantic_vo_tpu.core import lie
 from stereo_semantic_vo_tpu.core.camera import Camera
 from stereo_semantic_vo_tpu.core.config import BAConfig, PnPConfig
 from stereo_semantic_vo_tpu.ops import ba as ba_ops
+from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
 
 class PnPResult(NamedTuple):
@@ -108,6 +109,7 @@ def _P_to_T(P: jax.Array) -> jax.Array:
     return lie.rt_to_T(R, t)
 
 
+@f32_geometry
 def ransac_pnp(
     X_w: jax.Array,
     uv: jax.Array,

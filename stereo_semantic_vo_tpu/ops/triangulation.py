@@ -19,8 +19,10 @@ import jax.numpy as jnp
 
 from stereo_semantic_vo_tpu.core.camera import Camera
 from stereo_semantic_vo_tpu.ops.pnp import smallest_eigvec
+from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
 
+@f32_geometry
 def triangulate(
     T_cw: jax.Array,     # (F, 4, 4) camera poses
     uv: jax.Array,       # (F, 2) pixel observations of ONE landmark
@@ -46,6 +48,7 @@ def triangulate(
     return X, valid
 
 
+@f32_geometry
 def triangulate_batch(T_cw, uv, obs_mask, cam: Camera):
     """uv (F, L, 2), obs_mask (F, L) -> ((L, 3) points, (L,) valid)."""
     return jax.vmap(

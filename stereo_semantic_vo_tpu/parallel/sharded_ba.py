@@ -40,6 +40,7 @@ from stereo_semantic_vo_tpu.ops.local_ba import (
     build_normal_equations,
 )
 from stereo_semantic_vo_tpu.parallel.mesh import LANDMARK_AXIS
+from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
 
 class ShardedBAResult(NamedTuple):
@@ -53,6 +54,7 @@ def _local_cost(poses, points, obs_uv, obs_mask, cam, delta, axis):
     return jax.lax.psum(c, axis)
 
 
+@f32_geometry
 def _sharded_ba_body(
     poses, points, obs_uv, obs_mask, point_valid, cam: Camera, cfg: BAConfig,
     fix_first_pose: bool, axis: str,

@@ -75,6 +75,16 @@ def read_gray(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("L"), dtype=np.float32)
 
 
+def read_rgb(path: str) -> np.ndarray | None:
+    """Image file -> (H, W, 3) float32 in [0, 255], or None when the source
+    carries no color (PGM fixtures: urban*, cones are grayscale captures)."""
+    if path.endswith(".pgm"):
+        return None
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+
+
 def load_fixture(name: str):
     """-> (left, right, ndisp, msa_disparity) with msa in raw pixels,
     -1 where the golden byte is 0 (MSA never outputs disparity 0 for valid
