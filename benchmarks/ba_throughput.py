@@ -107,7 +107,7 @@ def main() -> None:
 
     local = {"problem": {"F": F, "L": L, "lm_iterations": cfg.local_iterations}}
     for backend in ("xla", "pallas"):
-        bcfg = dataclasses.replace(cfg, hessian_backend=backend)
+        bcfg = dataclasses.replace(cfg, local_hessian_backend=backend)
         ms = scan_ms(
             lambda e, X: local_ba(posesj, X + e, obs, maskl, pv, cam, bcfg).poses, Xl0
         )

@@ -23,6 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     import jax
+
+    # the environment may pre-register an external TPU plugin that overrides
+    # JAX_PLATFORMS (same workaround as tests/conftest.py) — re-force it
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from stereo_semantic_vo_tpu.core import Camera, CameraConfig, lie

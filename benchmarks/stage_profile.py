@@ -189,7 +189,13 @@ def main() -> None:
     @jax.jit
     def full_scan(s0, salt):
         def step(s, _):
-            f = frame._replace(left=frame.left + salt * jnp.float32(1e-20))
+            # the perturbation must depend on the CARRY, not just the salt: a
+            # salt-only perturbation is loop-invariant, and XLA hoists every
+            # frame-derived computation (the whole ORB pyramid) out of the
+            # scan — the round-3 artifact briefly published a FULL step
+            # smaller than its ORB stage because of exactly this
+            eps = (s.T_cw[0, 0] + salt) * jnp.float32(1e-20)
+            f = frame._replace(left=frame.left + eps)
             s2, out = track_step(s, f, cfg)
             return s2, out.T_cw
 

@@ -158,9 +158,12 @@ class BAConfig:
     # local BA (sliding window poses + landmarks, Schur complement)
     local_iterations: int = 5
     max_landmarks: int = 2048
-    # normal-equation build: "xla" (einsum over a materialized (K,2,6) J)
-    # or "pallas" (fused residual+weight+J+accumulate, kernels/ba_hessian.py)
-    hessian_backend: str = "xla"
+    # normal-equation builds: "xla" (einsum over a materialized (K,2,6) J)
+    # or "pallas" (fused residual+weight+J+accumulate, kernels/ba_hessian.py).
+    # Separate knobs because the measured winners differ on v5e
+    # (benchmarks/kernel_bench.json): motion-only -> xla, local blocks -> pallas
+    hessian_backend: str = "xla"        # motion-only BA build
+    local_hessian_backend: str = "xla"  # local/window BA block build
 
 
 @dataclasses.dataclass(frozen=True)
@@ -223,6 +226,10 @@ class VOConfig:
             orb=ORBConfig(steer=False),
             matcher=MatcherConfig(backend="pallas" if on_tpu else "mxu"),
             stereo=StereoConfig(sparse_mode="pallas" if on_tpu else "volume"),
+            # motion-only build: XLA wins (0.139 vs 0.144 ms); the local/window
+            # block build: the fused Pallas kernel wins (below timer resolution
+            # vs 0.130 ms for the f32 einsum build at F=4 x L=2048)
+            ba=BAConfig(local_hessian_backend="pallas" if on_tpu else "xla"),
         )
 
     @property

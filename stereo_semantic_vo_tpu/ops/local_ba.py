@@ -196,7 +196,7 @@ def local_ba(
         po, pt, lam, cost = carry
         eq = build_normal_equations(
             po, pt, obs_uv, obs_mask, cam, cfg.huber_delta,
-            backend=cfg.hessian_backend,
+            backend=cfg.local_hessian_backend,
         )
         dx_c, dx_p = schur_solve(eq, lam, point_valid, fix_first_pose)
         po_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, po)

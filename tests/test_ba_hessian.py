@@ -132,7 +132,7 @@ class TestMotionHessian:
         pts = {}
         for backend in ("xla", "pallas"):
             cfg = dataclasses.replace(
-                BAConfig(), local_iterations=8, hessian_backend=backend
+                BAConfig(), local_iterations=8, local_hessian_backend=backend
             )
             res = local_ba(
                 jnp.asarray(poses), jnp.asarray(X0), jnp.asarray(obs),

@@ -142,3 +142,37 @@ class TestDenseDisparity:
         assert not bool(np.asarray(st.valid).any()), (
             "repaired (inpainted) pixels must not produce valid stereo depth"
         )
+
+
+class TestColorCost:
+    """MSA's 3-channel color cost (MSA.cpp:78-97): channel-mean absolute
+    difference.  Grayscale-isoluminant color texture is ambiguous to the
+    1-channel cost but trivially matchable in color — the color path must
+    recover the shift where the gray path cannot."""
+
+    def test_isoluminant_texture_needs_color(self):
+        rng = np.random.RandomState(7)
+        H, W, d_true = 64, 256, 10
+        # R and G carry opposite random texture; gray = (R+G+B)/3 is constant
+        t = rng.uniform(0, 80, (H, W + 32)).astype(np.float32)
+        rgb = np.stack([120 + t, 120 - t, np.full_like(t, 120.0)], axis=-1)
+        gray = rgb.mean(axis=-1)  # constant 120 everywhere
+        l_rgb, r_rgb = rgb[:, :W], rgb[:, d_true : d_true + W]
+        l_g, r_g = gray[:, :W], gray[:, d_true : d_true + W]
+
+        out_c = dense_disparity(
+            jnp.asarray(l_g), jnp.asarray(r_g), CFG,
+            left_rgb=jnp.asarray(l_rgb), right_rgb=jnp.asarray(r_rgb),
+        )
+        disp = np.asarray(out_c.disparity)
+        valid = np.asarray(out_c.valid)
+        inner = np.zeros_like(valid)
+        inner[5:-5, 60:-40] = True
+        ok = valid & inner
+        assert ok.mean() > 0.2
+        assert np.median(np.abs(disp[ok] - d_true)) < 0.6
+
+        # the grayscale engine sees a constant image: nothing valid to match
+        out_g = dense_disparity(jnp.asarray(l_g), jnp.asarray(r_g), CFG)
+        ok_g = np.asarray(out_g.valid) & inner
+        assert ok_g.mean() < 0.05

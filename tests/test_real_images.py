@@ -109,3 +109,37 @@ class TestORBOnRealImages:
         dx = uvl[:, 0] - uvr[:, 0]
         inlier = (dv <= 2.0) & (dx >= -1.0) & (dx <= ndisp + 1.0)
         assert inlier.mean() >= 0.60, f"inlier rate {inlier.mean():.3f}"
+
+
+class TestTemporalMatchingOnRealImages:
+    """Frame-to-frame (temporal) matching on real texture — the tracking
+    matcher's actual job (pnpmatch.cc:61-101 matches the *last frame's* map
+    points, not the stereo partner).  Simulated ego-motion: shifted crops of
+    the urban frames (a pure-yaw-like image translation plus a vertical
+    nudge), which changes every keypoint's patch sampling grid the way
+    inter-frame motion does."""
+
+    @pytest.mark.parametrize("name", ["urban2", "urban3"])
+    def test_shifted_crop_matching(self, name):
+        left, _, _, _ = load_fixture(name)
+        H, W = left.shape
+        dx, dy = 14, 3  # ~KITTI-magnitude apparent motion at 10 Hz
+        crop_w, crop_h = W - 2 * dx, H - 2 * dy
+        f0 = left[dy : dy + crop_h, dx : dx + crop_w]
+        f1 = left[2 * dy : 2 * dy + crop_h, 2 * dx : 2 * dx + crop_w]
+
+        cfg = ORBConfig(max_keypoints=512)
+        k0 = orb.extract_orb(jnp.asarray(f0), cfg)
+        k1 = orb.extract_orb(jnp.asarray(f1), cfg)
+
+        dist = hamming_distance_matrix(k0.desc, k1.desc)
+        idx, best, second = masked_best_match(dist, k0.valid, k1.valid)
+        good = np.asarray(k0.valid) & (np.asarray(best) < 15)  # tracking gate
+        assert good.sum() >= 60, f"only {good.sum()} gate-15 temporal matches"
+
+        uv0 = np.asarray(k0.uv)[good]
+        uv1 = np.asarray(k1.uv)[np.asarray(idx)[good]]
+        # ground-truth correspondence: the same scene pixel moved by (-dx, -dy)
+        err = uv1 - uv0 - np.array([-dx, -dy], np.float32)
+        inlier = np.linalg.norm(err, axis=1) <= 2.0
+        assert inlier.mean() >= 0.80, f"temporal inlier rate {inlier.mean():.3f}"

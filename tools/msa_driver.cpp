@@ -14,6 +14,7 @@
 // without a display; the executable-level definition below interposes the
 // highgui symbol at static link time, turning it into a no-op.
 
+#include <chrono>
 #include <cstdio>
 #include <opencv2/opencv.hpp>
 #include "MSA.h"
@@ -37,7 +38,11 @@ int main(int argc, char** argv) {
     }
     int ndisp = std::atoi(argv[3]);
     int scale = std::atoi(argv[4]);
+    auto t0 = std::chrono::steady_clock::now();
     cv::Mat disp = solver.solve(left, right, ndisp, scale, false);
+    auto t1 = std::chrono::steady_clock::now();
+    std::printf("solve_ms %.1f\n",
+                std::chrono::duration<double, std::milli>(t1 - t0).count());
     if (!cv::imwrite(argv[5], disp)) {
         std::fprintf(stderr, "failed to write %s\n", argv[5]);
         return 1;

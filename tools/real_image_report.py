@@ -19,17 +19,28 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 import jax.numpy as jnp
 import numpy as np
 
-from fixtures_io import FIXTURES, load_fixture
+from fixtures_io import FIXTURES, load_fixture, read_rgb
 from stereo_semantic_vo_tpu.core.config import ORBConfig, StereoConfig
 from stereo_semantic_vo_tpu.kernels.hamming import hamming_distance_matrix, masked_best_match
 from stereo_semantic_vo_tpu.ops import orb
 from stereo_semantic_vo_tpu.ops.dense_stereo import dense_disparity
 
 
-def dense_metrics(name: str, refine: bool) -> dict:
+def dense_metrics(name: str, refine: bool, color: bool = False) -> dict:
+    """color=True uses MSA's 3-channel cost (MSA.cpp:78-97) where the source
+    carries color (the PNG Middlebury pairs; urban/cones PGMs are grayscale
+    captures, so color cannot apply there)."""
     left, right, ndisp, msa = load_fixture(name)
     cfg = StereoConfig(max_disparity=ndisp, refine=refine)
-    out = dense_disparity(jnp.asarray(left), jnp.asarray(right), cfg)
+    lrgb = rrgb = None
+    if color:
+        lp, rp = FIXTURES[name][:2]
+        lrgb, rrgb = read_rgb(lp), read_rgb(rp)
+        if lrgb is None:
+            return {}
+        lrgb, rrgb = jnp.asarray(lrgb), jnp.asarray(rrgb)
+    out = dense_disparity(jnp.asarray(left), jnp.asarray(right), cfg,
+                          left_rgb=lrgb, right_rgb=rrgb)
     disp = np.asarray(out.disparity)
     valid = np.asarray(out.valid)
     H, W = left.shape
@@ -84,14 +95,18 @@ if __name__ == "__main__":
     print("== dense SGM vs MSA golden ==")
     for n in names:
         for refine in (False, True):
-            m = dense_metrics(n, refine)
-            print(
-                f"{m['name']:8s} refine={int(refine)} {m['W']}x{m['H']} d={m['ndisp']}"
-                f"  density={m['density']:.3f} (msa {m['msa_density']:.3f},"
-                f" overlap {m['overlap']:.3f})"
-                f"  agree@1px={m['agree1']:.3f} @3px={m['agree3']:.3f}"
-                f"  med={m['med_err']:.2f} rms={m['rms']:.2f}"
-            )
+            for color in (False, True):
+                m = dense_metrics(n, refine, color)
+                if not m:
+                    continue
+                print(
+                    f"{m['name']:8s} refine={int(refine)} color={int(color)}"
+                    f" {m['W']}x{m['H']} d={m['ndisp']}"
+                    f"  density={m['density']:.3f} (msa {m['msa_density']:.3f},"
+                    f" overlap {m['overlap']:.3f})"
+                    f"  agree@1px={m['agree1']:.3f} @3px={m['agree3']:.3f}"
+                    f"  med={m['med_err']:.2f} rms={m['rms']:.2f}"
+                )
     print("== ORB left/right matching ==")
     for n in names:
         m = orb_metrics(n)
