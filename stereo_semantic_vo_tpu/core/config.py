@@ -79,6 +79,9 @@ class ORBConfig:
                                       # bits when the platform has no roll)
     fast_backend: str = "xla"         # "xla" (rolled ring stack) or "pallas"
                                       # (tiled halo kernel, kernels/fast_score.py)
+    patch_backend: str = "xla"        # descriptor-patch extraction: "xla"
+                                      # (vmapped dynamic_slice) or "pallas"
+                                      # (tile-DMA kernel, kernels/patch_extract.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -223,7 +226,7 @@ class VOConfig:
         on_tpu = jax.default_backend() == "tpu"
         return cls(
             camera=cam,
-            orb=ORBConfig(steer=False),
+            orb=ORBConfig(steer=False, patch_backend="pallas" if on_tpu else "xla"),
             matcher=MatcherConfig(backend="pallas" if on_tpu else "mxu"),
             stereo=StereoConfig(sparse_mode="pallas" if on_tpu else "volume"),
             # motion-only build: XLA wins (0.139 vs 0.144 ms); the local/window

@@ -165,14 +165,30 @@ def _patches(img: jax.Array, xy: jax.Array, r: int) -> jax.Array:
     return jax.vmap(one)(xy.astype(jnp.int32))
 
 
-def _orientation_from_patches(patches: jax.Array, half: int) -> jax.Array:
-    """Intensity-centroid angle from pre-extracted (N, 2h+1, 2h+1) patches.
-    The circular-mask moment sums are two static matvecs (MXU-friendly)."""
+@functools.lru_cache(maxsize=None)
+def _ic_weights(half: int, rows: int, cols: int) -> tuple[np.ndarray, np.ndarray]:
+    """Intensity-centroid moment weights laid out for a (rows, cols) patch
+    slab whose (2*half+1)^2 patch sits at [0:P, 0:P] (rows=cols=P for tight
+    XLA patches; rows=32, cols=128 for the Pallas slab layout — the padding
+    gets zero weight, so the layout difference vanishes in the matvec)."""
     r = half
+    P = 2 * r + 1
     dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
     circle = (dx * dx + dy * dy) <= r * r
-    wx = jnp.asarray((dx * circle).reshape(-1), jnp.float32)
-    wy = jnp.asarray((dy * circle).reshape(-1), jnp.float32)
+    wx = np.zeros((rows, cols), np.float32)
+    wy = np.zeros((rows, cols), np.float32)
+    wx[:P, :P] = dx * circle
+    wy[:P, :P] = dy * circle
+    return wx.reshape(-1), wy.reshape(-1)
+
+
+def _orientation_from_patches(patches: jax.Array, half: int) -> jax.Array:
+    """Intensity-centroid angle from pre-extracted (N, rows, cols) patch
+    slabs (patch at [:, :P, :P]). The circular-mask moment sums are two
+    static matvecs (MXU-friendly)."""
+    wx_np, wy_np = _ic_weights(half, patches.shape[1], patches.shape[2])
+    wx = jnp.asarray(wx_np)
+    wy = jnp.asarray(wy_np)
     flat = patches.reshape(patches.shape[0], -1)
     # full f32 accumulation: the default bf16 dot precision would jitter the
     # angle and flip outer-radius BRIEF bits
@@ -182,24 +198,47 @@ def _orientation_from_patches(patches: jax.Array, half: int) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
-def _orientation(img: jax.Array, xy: jax.Array, half: int) -> jax.Array:
+def _get_patches(img: jax.Array, xy: jax.Array, r: int, backend: str) -> jax.Array:
+    """Patch slabs around keypoints: (N, P, P) via vmapped dynamic_slice
+    ("xla") or (N, 32, 128) via the tile-DMA kernel ("pallas",
+    kernels/patch_extract.py — measured 4x faster on v5e; the consumers'
+    weight matrices absorb the slab layout).  Both place the patch at
+    [:, :P, :P] with the same clamped origin."""
+    if backend == "pallas":
+        from stereo_semantic_vo_tpu.kernels.patch_extract import extract_patches
+
+        H, W = img.shape
+        P = 2 * r + 1
+        y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - r, 0, H - P)
+        x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, W - P)
+        return extract_patches(img, y0, x0, r)
+    return _patches(img, xy, r)
+
+
+def _orientation(img: jax.Array, xy: jax.Array, half: int, backend: str = "xla") -> jax.Array:
     """Intensity-centroid angle for keypoints at integer coords xy (N, 2)=(x,y)."""
-    return _orientation_from_patches(_patches(img, xy, half), half)
+    return _orientation_from_patches(_get_patches(img, xy, half, backend), half)
 
 
 @functools.lru_cache(maxsize=None)
-def _upright_onehots(seed: int, n_bits: int, patch: int) -> tuple[np.ndarray, np.ndarray]:
-    """Static (P*P, n_bits) one-hot sampling matrices for the un-rotated BRIEF
-    pattern: endpoint intensities become two MXU matmuls instead of 2*n_bits
-    scattered gathers per keypoint."""
+def _upright_onehots(
+    seed: int, n_bits: int, patch: int, rows: int = 0, cols: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Static (rows*cols, n_bits) one-hot sampling matrices for the
+    un-rotated BRIEF pattern: endpoint intensities become two MXU matmuls
+    instead of 2*n_bits scattered gathers per keypoint.  rows/cols default
+    to the tight P x P layout; the Pallas slab layout (32, 128) folds its
+    padding stride into the matrix instead of re-slicing the slab."""
     pts = brief_pattern(seed, n_bits, patch)  # (n_bits, 4): y1 x1 y2 x2
     r = patch // 2
     P = 2 * r + 1
-    s1 = np.zeros((P * P, n_bits), np.float32)
-    s2 = np.zeros((P * P, n_bits), np.float32)
+    rows = rows or P
+    cols = cols or P
+    s1 = np.zeros((rows * cols, n_bits), np.float32)
+    s2 = np.zeros((rows * cols, n_bits), np.float32)
     for j, (y1, x1, y2, x2) in enumerate(pts):
-        s1[(y1 + r) * P + (x1 + r), j] = 1.0
-        s2[(y2 + r) * P + (x2 + r), j] = 1.0
+        s1[(y1 + r) * cols + (x1 + r), j] = 1.0
+        s2[(y2 + r) * cols + (x2 + r), j] = 1.0
     return s1, s2
 
 
@@ -211,10 +250,13 @@ def _pack_bits(bits: jax.Array) -> jax.Array:
 
 
 def _describe_upright(patches: jax.Array, seed: int, n_bits: int, patch: int) -> jax.Array:
-    """Upright BRIEF from pre-extracted patches: two static one-hot matmuls
-    on the MXU (the gather-free formulation; the pattern never rotates so the
-    sampling matrix is shared by every keypoint)."""
-    s1, s2 = _upright_onehots(seed, n_bits, patch)
+    """Upright BRIEF from pre-extracted (N, rows, cols) patch slabs (patch
+    at [:, :P, :P]): two static one-hot matmuls on the MXU (the gather-free
+    formulation; the pattern never rotates so the sampling matrix is shared
+    by every keypoint)."""
+    s1, s2 = _upright_onehots(
+        seed, n_bits, patch, patches.shape[1], patches.shape[2]
+    )
     flat = patches.reshape(patches.shape[0], -1)
     # HIGHEST precision: a one-hot dot is an exact selection in full f32 but
     # the TPU's default bf16 dot precision would quantize intensities and
@@ -315,13 +357,15 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
         # orientation from the smoothed image: the IC angle jitters badly on
         # raw pixels and every degree of jitter flips outer-radius BRIEF bits
         if cfg.steer:
-            angle = _orientation(img_s, xy, cfg.half_patch)
+            angle = _orientation(img_s, xy, cfg.half_patch, cfg.patch_backend)
             desc = _describe(img_s, xy, angle, pattern)
         else:
-            # upright BRIEF: one patch slice per keypoint + two static
+            # upright BRIEF: one patch slab per keypoint + two static
             # one-hot MXU matmuls — no scattered gathers at all
             angle = jnp.zeros(xy.shape[0], img_l.dtype)
-            patches = _patches(img_s, xy, cfg.patch_size // 2)
+            patches = _get_patches(
+                img_s, xy, cfg.patch_size // 2, cfg.patch_backend
+            )
             desc = _describe_upright(
                 patches, cfg.brief_seed, cfg.descriptor_bits, cfg.patch_size
             )
