@@ -57,6 +57,9 @@ def real_frame_source(H: int = KITTI_H, W: int = KITTI_W):
         pad = H - Hs
         left = np.concatenate([left, left[-pad:][::-1]], axis=0)
         right = np.concatenate([right, right[-pad:][::-1]], axis=0)
+    # a source narrower than the requested width would silently crop narrower
+    # frames while the output JSON still claims KITTI resolution — refuse
+    assert Ws >= W, f"frame source {Ws}px narrower than requested {W}px"
     slide = max(Ws - W, 1)
 
     def frame_at(t: int) -> tuple[np.ndarray, np.ndarray]:

@@ -20,6 +20,24 @@ import dataclasses
 from typing import Tuple
 
 
+def resolve_backend(value: str, tpu: str, cpu: str) -> str:
+    """Resolve an ``"auto"`` execution-backend knob at *dispatch* time.
+
+    Configs are frozen, hashable, and often constructed before JAX picks a
+    platform (or serialized and shipped elsewhere), so baking
+    ``jax.default_backend()`` into the config at construction would both
+    initialize the backend as a side effect and freeze a possibly-wrong
+    platform into a static jit argument.  Instead the config carries the
+    ``"auto"`` sentinel and every kernel-selection site calls this helper
+    while tracing — the platform queried is the one actually compiling.
+    """
+    if value != "auto":
+        return value
+    import jax
+
+    return tpu if jax.default_backend() == "tpu" else cpu
+
+
 @dataclasses.dataclass(frozen=True)
 class CameraConfig:
     """Stereo pinhole camera (reference: Stereo/KITTI00-02.yaml, Tracking.cc:24-39)."""
@@ -122,13 +140,28 @@ class MatcherConfig:
     epipolar_threshold: float = 0.1   # point-to-epiline distance: moving object test (pnpmatch.cc:115)
     box_margin_init: float = 5.0      # detection-box margin when creating points (Tracking.cc:61)
     box_margin_match: float = 10.0    # detection-box margin in 2D-2D matching (pnpmatch.cc:108)
+    # motion-prior spatial gate: reject a descriptor match whose keypoint
+    # lies farther than this (px) from the map point's projection under the
+    # constant-velocity pose prediction.  Repetitive street texture (fence
+    # pickets, lane dashes) aliases pure-descriptor matching into consistent
+    # wrong consensus sets that RANSAC *accepts* — the guided-search window every
+    # ORB-SLAM-class matcher uses, absent from the reference's free matching
+    # (pnpmatch.cc:61-199).  0 disables (reference-faithful).
+    search_radius_px: float = 0.0
     backend: str = "popcount"         # "popcount" (XLA XOR+popcount) |
                                       # "mxu" (int8 matmul) |
-                                      # "pallas" (fused distance+best2 kernel)
+                                      # "pallas" (fused distance+best2 kernel) |
+                                      # "auto" (measured winner per platform,
+                                      #   resolved at dispatch time)
+
+    def resolved_backend(self) -> str:
+        # measured winners (benchmarks/kernel_bench.json): fused Pallas kernel
+        # on TPU; off-TPU Pallas only interprets, so the MXU matmul form wins
+        return resolve_backend(self.backend, "pallas", "mxu")
 
     @property
     def use_mxu(self) -> bool:
-        return self.backend == "mxu"
+        return self.resolved_backend() == "mxu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +178,19 @@ class PnPConfig:
     refine_iters: int = 5             # Gauss-Newton polish on best inlier set
     min_inliers: int = 10
     seed: int = 0
+    # physical plausibility: reject a pose that lands farther than this (m)
+    # from the constant-velocity prediction, unless its consensus is
+    # overwhelming (>= 3x min_inliers).  Repetitive-texture aliasing can
+    # assemble a consistent wrong consensus that teleports the pose by tens
+    # of meters (and poisons the velocity model with it); a vehicle cannot
+    # do that between frames.  0 disables (reference-faithful: the reference
+    # accepts any solvePnPRansac result, pnpmatch.cc:245-247).
+    pose_jump_max_m: float = 0.0
+    # inlier-count bonus for the constant-velocity seed hypothesis: under
+    # degenerate geometry (matches clustered on one structure) several poses
+    # tie within noise, and argmax picks arbitrarily — the prior should win
+    # unless a sampled hypothesis beats it by a real margin.  0 disables.
+    seed_bonus: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +204,12 @@ class BAConfig:
     init_lambda: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.1
+    # trimmed motion BA: observations farther than this (px) from the seed
+    # pose are excluded, reclassified once mid-optimization — the
+    # round-structured outlier rejection of ORB-SLAM-class pose optimizers
+    # that the reference's single optimize(10) lacks (Optimizer.cc:75-76).
+    # 0 disables (reference-faithful single pass).
+    trim_px: float = 10.0
     # local BA (sliding window poses + landmarks, Schur complement)
     local_iterations: int = 5
     max_landmarks: int = 2048
@@ -214,25 +266,25 @@ class VOConfig:
         matcher (2.1x over the MXU matmul form), Pallas tile sparse-stereo
         kernel (14x over the cost-volume form), XLA FAST scoring, XLA BA
         build.  The Pallas kernels run in interpreter mode off-TPU, which is
-        a correctness path, not a production one — on CPU the defaults fall
-        back to the fastest compiled XLA formulations.  Upright BRIEF
-        (steer=False) turns description into two static one-hot MXU matmuls
-        (~4x faster extraction) and is *more* stable than steered BRIEF on a
-        roll-free vehicle platform."""
+        a correctness path, not a production one — on CPU the "auto" knobs
+        resolve to the fastest compiled XLA formulations instead.  Resolution
+        happens at *dispatch* time (resolve_backend above), so constructing a
+        config has no JAX side effects and a config built before platform
+        forcing (or shipped to a different host) still picks that host's
+        winners.  Upright BRIEF (steer=False) turns description into two
+        static one-hot MXU matmuls (~4x faster extraction) and is *more*
+        stable than steered BRIEF on a roll-free vehicle platform."""
         seq = int(sequence)
         cam = CameraConfig.kitti_00_02() if seq <= 3 else CameraConfig.kitti_04_12()
-        import jax
-
-        on_tpu = jax.default_backend() == "tpu"
         return cls(
             camera=cam,
-            orb=ORBConfig(steer=False, patch_backend="pallas" if on_tpu else "xla"),
-            matcher=MatcherConfig(backend="pallas" if on_tpu else "mxu"),
-            stereo=StereoConfig(sparse_mode="pallas" if on_tpu else "volume"),
+            orb=ORBConfig(steer=False, patch_backend="auto"),
+            matcher=MatcherConfig(backend="auto", search_radius_px=150.0),
+            pnp=PnPConfig(pose_jump_max_m=1.5, seed_bonus=8),
+            stereo=StereoConfig(sparse_mode="auto"),
             # motion-only build: XLA wins (0.139 vs 0.144 ms); the local/window
-            # block build: the fused Pallas kernel wins (below timer resolution
-            # vs 0.130 ms for the f32 einsum build at F=4 x L=2048)
-            ba=BAConfig(local_hessian_backend="pallas" if on_tpu else "xla"),
+            # block build: the fused Pallas kernel wins (see kernel_bench.json)
+            ba=BAConfig(local_hessian_backend="auto"),
         )
 
     @property

@@ -67,6 +67,16 @@ def _resolve_matches(q_valid, best_tidx, best_dist, accept, n_train):
     return matched, q_of_train
 
 
+def _project_uv(cam, T_cw, Xw):
+    """Project (N, 3) world points under T_cw -> ((N, 2) pixels, (N,) depth)."""
+    pc = lie.transform_points(T_cw, Xw)
+    z = pc[..., 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    u = cam.fx * pc[..., 0] / safe_z + cam.cx
+    v = cam.fy * pc[..., 1] / safe_z + cam.cy
+    return jnp.stack([u, v], axis=-1), z
+
+
 def _region_slots(frame_idx, region_frame, K, W):
     """Slot offsets of the ring region belonging to ``region_frame``."""
     r = jnp.mod(region_frame, W)
@@ -169,7 +179,8 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     last_slots = _region_slots(t, t - 1, K, W)
     live_last = jax.lax.dynamic_slice_in_dim(live, jnp.mod(t - 1, W) * K, K, axis=0)
     last_has_mp = state.last_valid & live_last
-    if cfg.matcher.backend == "pallas":
+    T_pred = state.velocity @ state.T_cw
+    if cfg.matcher.resolved_backend() == "pallas":
         from stereo_semantic_vo_tpu.kernels.matcher import fused_best_match
 
         b_idx, b_dist, _ = fused_best_match(state.last_desc, kp.desc, last_has_mp, kp.valid)
@@ -180,6 +191,16 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
             dist_last = hamming.hamming_distance_matrix(state.last_desc, kp.desc)
         b_idx, b_dist, _ = hamming.masked_best_match(dist_last, last_has_mp, kp.valid)
     accept3 = b_dist < cfg.matcher.last_frame_max_dist
+    if cfg.matcher.search_radius_px > 0:
+        # motion-prior gate: the winner must land near its map point's
+        # projection under the constant-velocity prediction (kills the
+        # consistent aliases repetitive street texture produces, which
+        # RANSAC would otherwise *accept* as a wrong consensus)
+        uv_pred3, z_pred3 = _project_uv(
+            cam, T_pred, state.map_Xw[last_slots]
+        )
+        d3 = jnp.sum((kp.uv[b_idx] - uv_pred3) ** 2, axis=-1)
+        accept3 = accept3 & (d3 <= cfg.matcher.search_radius_px**2) & (z_pred3 > 0.05)
     m3, q3 = _resolve_matches(last_has_mp, b_idx, b_dist, accept3, K)
     # per-cur-kp slot of the matched map point
     slot3 = last_slots[q3]
@@ -207,7 +228,7 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     map_candidates = live & ~in_last_region & ~map_bad
     cur_free = kp.valid & ~m3
     if cfg.use_local_map:
-        if cfg.matcher.backend == "pallas":
+        if cfg.matcher.resolved_backend() == "pallas":
             from stereo_semantic_vo_tpu.kernels.matcher import fused_best_match
 
             mb_idx, mb_dist, mb_second = fused_best_match(
@@ -222,6 +243,12 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
         accept5 = (mb_dist < cfg.matcher.local_map_max_dist) & (
             mb_second.astype(jnp.float32) > cfg.matcher.local_map_ratio * mb_dist.astype(jnp.float32)
         )
+        if cfg.matcher.search_radius_px > 0:
+            uv_pred5, z_pred5 = _project_uv(cam, T_pred, state.map_Xw)
+            d5 = jnp.sum((kp.uv[mb_idx] - uv_pred5) ** 2, axis=-1)
+            accept5 = accept5 & (d5 <= cfg.matcher.search_radius_px**2) & (
+                z_pred5 > 0.05
+            )
         m5, q5 = _resolve_matches(map_candidates, mb_idx, mb_dist, accept5, K)
         m5 = m5 & ~m3
     else:
@@ -233,16 +260,33 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     mp_slot = jnp.where(m3, slot3, slot5)
     has_obs = m3 | m5
     obs_Xw = state.map_Xw[mp_slot]
-    T_pred = state.velocity @ state.T_cw
     pnp = pnp_ops.ransac_pnp(
         obs_Xw, kp.uv, has_obs, cam, cfg.pnp,
         key=jax.random.fold_in(jax.random.PRNGKey(cfg.pnp.seed), t),
         T_seed=T_pred,
     )
     ba = ba_ops.motion_only_ba(pnp.T_cw, obs_Xw, kp.uv, has_obs, cam, cfg.ba)
-    # guard: if PnP+BA failed (too few inliers), fall back to the motion model
+    # consensus guard: accept the BA pose only if it keeps (most of) the
+    # RANSAC consensus — an optimization that sheds the inlier set was
+    # captured by outliers, and the PnP pose is the better estimate.  The
+    # reference trusts optimize(10) unconditionally (Tracking.cc via
+    # Optimizer.cc:75-86); this is part of the §5 failure-detection layer.
+    ba_keeps = jnp.sum(ba.inlier_mask) >= jnp.maximum(
+        pnp.n_inliers // 2, cfg.pnp.min_inliers
+    )
+    T_est = jnp.where(ba_keeps, ba.T_cw, pnp.T_cw)
+    # guard: if PnP failed (too few inliers), fall back to the motion model
     ok = pnp.ok
-    T_cw = jnp.where(ok, ba.T_cw, T_pred)
+    if cfg.pnp.pose_jump_max_m > 0:
+        # physical plausibility: a pose that teleports away from the motion
+        # prediction is an aliased consensus unless its support is
+        # overwhelming — rejecting it (and falling back to the prediction)
+        # keeps the velocity model sane, so the spatial match gate recovers
+        # on the next frames instead of deadlocking
+        jump = jnp.linalg.norm((T_est @ lie.T_inv(T_pred))[:3, 3])
+        overwhelming = pnp.n_inliers >= 3 * cfg.pnp.min_inliers
+        ok = ok & ((jump <= cfg.pnp.pose_jump_max_m) | overwhelming)
+    T_cw = jnp.where(ok, T_est, T_pred)
 
     # ---- 7. map maintenance -------------------------------------------------
     in_box_create = epi_ops.in_box_mask(kp.uv, frame.boxes, frame.boxes_valid, cfg.matcher.box_margin_init)

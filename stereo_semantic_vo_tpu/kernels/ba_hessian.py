@@ -248,6 +248,10 @@ def local_ba_blocks(
     F = poses.shape[0]
     L = Xt.shape[1]
     assert L % LB_BLOCK == 0, "landmark count must be a multiple of LB_BLOCK"
+    # intrinsics ride in row P[4, 0, :4] of the pose buffer, so a 5th pose
+    # would silently clobber them — fail loudly instead (window_frames is a
+    # user knob and config.kitti() defaults this kernel on TPU)
+    assert F <= 4, f"fused local-BA build supports at most 4 poses, got {F}"
     P = jnp.zeros((8, 4, 4), jnp.float32).at[:F].set(poses)
     P = P.at[4, 0, :4].set(jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]))
     n_pl = 12 + 18 * F

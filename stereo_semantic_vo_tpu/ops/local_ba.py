@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from stereo_semantic_vo_tpu.core import lie
 from stereo_semantic_vo_tpu.core.camera import Camera
-from stereo_semantic_vo_tpu.core.config import BAConfig
+from stereo_semantic_vo_tpu.core.config import BAConfig, resolve_backend
 from stereo_semantic_vo_tpu.ops.ba import huber_weights
 from stereo_semantic_vo_tpu.core.precision import f32_geometry
 
@@ -196,7 +196,7 @@ def local_ba(
         po, pt, lam, cost = carry
         eq = build_normal_equations(
             po, pt, obs_uv, obs_mask, cam, cfg.huber_delta,
-            backend=cfg.local_hessian_backend,
+            backend=resolve_backend(cfg.local_hessian_backend, "pallas", "xla"),
         )
         dx_c, dx_p = schur_solve(eq, lam, point_valid, fix_first_pose)
         po_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, po)

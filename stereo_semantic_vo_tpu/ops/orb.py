@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stereo_semantic_vo_tpu.core.config import ORBConfig
+from stereo_semantic_vo_tpu.core.config import ORBConfig, resolve_backend
 
 # FAST-9/16 Bresenham circle of radius 3, clockwise from 12 o'clock: (dy, dx)
 _CIRCLE = np.array(
@@ -317,6 +317,11 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
     # strong (iniThFAST) corners must always outrank weak-cell (minThFAST)
     # fallbacks, both inside a grid cell and in the global top-K
     bonus = jnp.float32(1e6)
+    # "auto" knobs -> measured platform winners (kernel_bench.json): FAST
+    # scoring stays XLA everywhere; patch extraction is the Pallas tile-DMA
+    # kernel on TPU, vmapped dynamic_slice off-TPU
+    fast_backend = resolve_backend(cfg.fast_backend, "xla", "xla")
+    patch_backend = resolve_backend(cfg.patch_backend, "pallas", "xla")
     img_l = image
     for level in range(cfg.n_levels):
         Hl, Wl = img_l.shape
@@ -326,7 +331,7 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
             if two_pass
             else (float(cfg.fast_threshold),)
         )
-        if cfg.fast_backend == "pallas":
+        if fast_backend == "pallas":
             from stereo_semantic_vo_tpu.kernels.fast_score import fast_scores_pallas
 
             scores = fast_scores_pallas(img_l, ths)
@@ -357,14 +362,14 @@ def extract_orb(image: jax.Array, cfg: ORBConfig) -> Keypoints:
         # orientation from the smoothed image: the IC angle jitters badly on
         # raw pixels and every degree of jitter flips outer-radius BRIEF bits
         if cfg.steer:
-            angle = _orientation(img_s, xy, cfg.half_patch, cfg.patch_backend)
+            angle = _orientation(img_s, xy, cfg.half_patch, patch_backend)
             desc = _describe(img_s, xy, angle, pattern)
         else:
             # upright BRIEF: one patch slab per keypoint + two static
             # one-hot MXU matmuls — no scattered gathers at all
             angle = jnp.zeros(xy.shape[0], img_l.dtype)
             patches = _get_patches(
-                img_s, xy, cfg.patch_size // 2, cfg.patch_backend
+                img_s, xy, cfg.patch_size // 2, patch_backend
             )
             desc = _describe_upright(
                 patches, cfg.brief_seed, cfg.descriptor_bits, cfg.patch_size

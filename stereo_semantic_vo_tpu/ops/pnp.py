@@ -153,6 +153,11 @@ def ransac_pnp(
     e2 = jnp.sum(err * err, axis=-1)                  # (B, K)
     inl = valid[None, :] & (e2 < cfg.inlier_px**2) & (z > 0.05)
     counts = jnp.sum(inl, axis=1)                     # (B,)
+    if T_seed is not None and cfg.seed_bonus > 0:
+        # prior preference: a sampled hypothesis must beat the motion-model
+        # seed by a real margin — under degenerate geometry many poses tie
+        # within noise and bare argmax picks arbitrarily among them
+        counts = counts.at[0].add(cfg.seed_bonus)
     best = jnp.argmax(counts)
     T0 = _P_to_T(Ps[best])
     best_inl = inl[best]
@@ -164,10 +169,12 @@ def ransac_pnp(
     r, zf = ba_ops.reprojection_residuals(res.T_cw, X_w, uv, cam)
     e2f = jnp.sum(r * r, axis=-1)
     final_inl = valid & (e2f < cfg.inlier_px**2) & (zf > 0.05)
-    n = jnp.sum(final_inl)
-    ok = n >= cfg.min_inliers
     # fall back to the unrefined hypothesis if refinement diverged
     use_refined = jnp.sum(final_inl) >= jnp.sum(best_inl)
     T = jnp.where(use_refined, res.T_cw, T0)
     inl_out = jnp.where(use_refined, final_inl, best_inl)
-    return PnPResult(T_cw=T, inlier_mask=inl_out, n_inliers=jnp.sum(inl_out), ok=ok)
+    n_out = jnp.sum(inl_out)
+    # ok judges the pose actually returned — not the refined candidate's
+    # count, which understates a healthy unrefined consensus
+    ok = n_out >= cfg.min_inliers
+    return PnPResult(T_cw=T, inlier_mask=inl_out, n_inliers=n_out, ok=ok)

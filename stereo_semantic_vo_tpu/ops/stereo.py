@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from stereo_semantic_vo_tpu.core.camera import Camera, disparity_to_depth
-from stereo_semantic_vo_tpu.core.config import StereoConfig
+from stereo_semantic_vo_tpu.core.config import StereoConfig, resolve_backend
 
 
 class StereoMatch(NamedTuple):
@@ -62,7 +62,10 @@ def sparse_disparity(
     gr = _xgrad(right)
     d_idx = jnp.arange(D)[None, :]
 
-    if cfg.sparse_mode == "dense":
+    # "auto" -> platform winner at dispatch time (kernel_bench.json: the
+    # Pallas aligned-tile kernel on TPU; the scanned cost-volume off-TPU)
+    mode = resolve_backend(cfg.sparse_mode, "pallas", "volume")
+    if mode == "dense":
         # reference-faithful path: full dense disparity (SGM engine standing
         # in for MSA), sampled at the keypoints (frame.cc:82-164 order)
         from stereo_semantic_vo_tpu.ops.dense_stereo import dense_disparity
@@ -83,7 +86,7 @@ def sparse_disparity(
             valid=valid,
             cost=jnp.zeros_like(disp),
         )
-    if cfg.sparse_mode == "volume2":
+    if mode == "volume2":
         # One (H, W, D) tensor: stack the D shifted difference maps, then a
         # separable box filter applied to the whole volume (2 reduce_windows
         # total instead of 2 per disparity), then the keypoint gather.
@@ -102,7 +105,7 @@ def sparse_disparity(
         costs = vol[yc, xc]
         addressable = (x[:, None] - d_idx) >= r
         costs = jnp.where(addressable, costs, big)
-    elif cfg.sparse_mode == "volume":
+    elif mode == "volume":
         # Whole-image formulation: D shifted truncated-difference maps with a
         # separable PxP box filter each, sampled at the keypoints.  Rolled up
         # as a lax.scan over the disparity axis so the XLA program stays small
@@ -124,7 +127,7 @@ def sparse_disparity(
         costs = costs_dk.T
         addressable = (x[:, None] - d_idx) >= r
         costs = jnp.where(addressable, costs, big)
-    elif cfg.sparse_mode == "pallas":
+    elif mode == "pallas":
         # fused per-keypoint tile kernel (kernels/sparse_stereo.py): DMA only
         # aligned tiles covering the strips, disparity axis on VPU lanes,
         # gradients derived in-kernel
