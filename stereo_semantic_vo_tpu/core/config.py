@@ -186,6 +186,12 @@ class PnPConfig:
     # do that between frames.  0 disables (reference-faithful: the reference
     # accepts any solvePnPRansac result, pnpmatch.cc:245-247).
     pose_jump_max_m: float = 0.0
+    # motion-model sanity cap: a per-frame velocity update whose translation
+    # exceeds this (m/frame) is discarded (the previous velocity is kept).
+    # A poisoned velocity poisons every downstream prior — the spatial match
+    # gate, PnP seeding, and the plausibility gate all predict with it.
+    # 0 disables.
+    max_velocity_m: float = 0.0
     # inlier-count bonus for the constant-velocity seed hypothesis: under
     # degenerate geometry (matches clustered on one structure) several poses
     # tie within noise, and argmax picks arbitrarily — the prior should win
@@ -208,8 +214,10 @@ class BAConfig:
     # pose are excluded, reclassified once mid-optimization — the
     # round-structured outlier rejection of ORB-SLAM-class pose optimizers
     # that the reference's single optimize(10) lacks (Optimizer.cc:75-76).
-    # 0 disables (reference-faithful single pass).
-    trim_px: float = 10.0
+    # 0 disables (reference-faithful single pass; the default — trimming
+    # assumes a RANSAC-grade seed, which bare motion_only_ba callers may
+    # not have).
+    trim_px: float = 0.0
     # local BA (sliding window poses + landmarks, Schur complement)
     local_iterations: int = 5
     max_landmarks: int = 2048
@@ -280,11 +288,11 @@ class VOConfig:
             camera=cam,
             orb=ORBConfig(steer=False, patch_backend="auto"),
             matcher=MatcherConfig(backend="auto", search_radius_px=150.0),
-            pnp=PnPConfig(pose_jump_max_m=1.5, seed_bonus=8),
+            pnp=PnPConfig(pose_jump_max_m=1.5, seed_bonus=8, max_velocity_m=4.0),
             stereo=StereoConfig(sparse_mode="auto"),
             # motion-only build: XLA wins (0.139 vs 0.144 ms); the local/window
             # block build: the fused Pallas kernel wins (see kernel_bench.json)
-            ba=BAConfig(local_hessian_backend="auto"),
+            ba=BAConfig(local_hessian_backend="auto", trim_px=10.0),
         )
 
     @property

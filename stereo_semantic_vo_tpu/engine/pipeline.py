@@ -78,7 +78,10 @@ class VOPipeline:
         self._consecutive_lost = 0
         self.n_reinits = 0
         self.window_ba = None
-        if local_ba_every > 0:
+        if local_ba_every > 0 and ba_mesh is not None:
+            # multi-device landmark-sharded refinement keeps its own pjit
+            # program; single-device refinement is the pure jitted
+            # window_ba.refine_state dispatched inline below
             from stereo_semantic_vo_tpu.engine.window_ba import WindowBA
 
             self.window_ba = WindowBA(cfg, mesh=ba_mesh)
@@ -91,9 +94,10 @@ class VOPipeline:
         self.frame_times: list[float] = []
         self.outputs: list[Any] = []
         # one-frame-deferred host readback: dispatch frame t, read frame t-1's
-        # results — hides device->host sync latency behind compute.  Disabled
-        # when window BA needs synchronous state access.
-        self.defer_readback = self.window_ba is None
+        # results — hides device->host sync latency behind compute.  The
+        # device-resident window BA (window_ba.refine_state) dispatches
+        # without host syncs, so deferral survives per-frame local BA.
+        self.defer_readback = True
         self._pending: tuple[Any, float] | None = None
         self._n_processed = 0
 
@@ -174,15 +178,22 @@ class VOPipeline:
             # stages frame t+1 (used by that frame's tracking step)
             self._detect_async(left_dev)
 
-        if self.window_ba is not None:
-            self.window_ba.push(out)
-            fidx = self._n_processed - 1
-            if self.window_ba.ready() and fidx % self.local_ba_every == 0:
+        fidx = self._n_processed - 1
+        if (
+            self.local_ba_every > 0
+            and fidx % self.local_ba_every == 0
+            and self._n_processed >= self.cfg.window.window_frames
+        ):
+            if self.window_ba is not None:
                 self.state, _ = self.window_ba.refine(self.state)
-                out = out._replace(
-                    T_cw=self.state.T_cw,
-                    T_wc=jnp.linalg.inv(self.state.T_cw),
-                )
+            else:
+                from stereo_semantic_vo_tpu.engine.window_ba import refine_state
+
+                self.state = refine_state(self.state, self.cfg)
+            out = out._replace(
+                T_cw=self.state.T_cw,
+                T_wc=jnp.linalg.inv(self.state.T_cw),
+            )
 
         if self.defer_readback:
             prev = self._pending

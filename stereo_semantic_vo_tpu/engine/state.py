@@ -48,6 +48,17 @@ class VOState(NamedTuple):
                               # survives the per-frame region copies so
                               # window BA can group observations by landmark
 
+    # device-resident observation window for local BA (ring on axis 0 by
+    # frame mod W): pose and keypoint pixels of each window frame.  The uid
+    # bindings live in the map ring already (slot (f%W)*K+k is keypoint k of
+    # frame f), so these two tensors complete the observation graph without
+    # any host-side assembly (engine/window_ba.refine_state).
+    win_T_cw: jax.Array      # (W, 4, 4)
+    win_uv: jax.Array        # (W, K, 2)
+    win_disp: jax.Array      # (W, K) stereo disparity per keypoint (-1 none)
+                             # — feeds the u_R stereo BA edge, which anchors
+                             # landmark depth the way each frame measured it
+
     @property
     def T_wc(self) -> jax.Array:
         from stereo_semantic_vo_tpu.core import lie
@@ -74,6 +85,9 @@ def init_state(cfg: VOConfig) -> VOState:
         map_bad=jnp.zeros((M,), bool),
         map_create_id=jnp.full((M,), -100, i32),
         map_uid=jnp.full((M,), -1, i32),
+        win_T_cw=jnp.tile(jnp.eye(4, dtype=f32), (cfg.window.window_frames, 1, 1)),
+        win_uv=jnp.zeros((cfg.window.window_frames, K, 2), f32),
+        win_disp=jnp.full((cfg.window.window_frames, K), -1.0, f32),
     )
 
 

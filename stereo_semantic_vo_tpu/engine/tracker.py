@@ -129,7 +129,10 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
     new_state = state._replace(
         frame_idx=t,
         T_cw=T_cw,
-        velocity=state.velocity,
+        # a mid-sequence reseed usually follows a lost stretch whose velocity
+        # estimate can no longer be trusted — restart the motion model from
+        # rest so the prior-driven gates cannot deadlock on a stale prediction
+        velocity=jnp.eye(4, dtype=state.velocity.dtype),
         last_uv=kp.uv,
         last_desc=kp.desc,
         last_desc_pm1=kp_pm1,
@@ -141,6 +144,11 @@ def init_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOState
         map_bad=_set_region(state.map_bad, t, K, W, jnp.zeros((K,), bool)),
         map_create_id=_set_region(state.map_create_id, t, K, W, jnp.where(create, t, -100)),
         map_uid=_set_region(state.map_uid, t, K, W, jnp.where(create, uid, -1)),
+        win_T_cw=state.win_T_cw.at[jnp.mod(t, W)].set(T_cw),
+        win_uv=state.win_uv.at[jnp.mod(t, W)].set(kp.uv),
+        win_disp=state.win_disp.at[jnp.mod(t, W)].set(
+            jnp.where(st.valid, st.disparity, -1.0)
+        ),
     )
     n = jnp.sum(create)
     zero = jnp.asarray(0, jnp.int32)
@@ -279,13 +287,14 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     ok = pnp.ok
     if cfg.pnp.pose_jump_max_m > 0:
         # physical plausibility: a pose that teleports away from the motion
-        # prediction is an aliased consensus unless its support is
-        # overwhelming — rejecting it (and falling back to the prediction)
-        # keeps the velocity model sane, so the spatial match gate recovers
-        # on the next frames instead of deadlocking
+        # prediction is an aliased or degenerate consensus — a vehicle cannot
+        # move that far between frames.  Rejecting it (falling back to the
+        # prediction, with reseed-after-lost as the re-lock path) keeps the
+        # velocity model sane, so the motion-prior gates recover instead of
+        # deadlocking.  No inlier-count escape hatch: repetitive texture can
+        # assemble arbitrarily large wrong consensus sets (56 m scene twins).
         jump = jnp.linalg.norm((T_est @ lie.T_inv(T_pred))[:3, 3])
-        overwhelming = pnp.n_inliers >= 3 * cfg.pnp.min_inliers
-        ok = ok & ((jump <= cfg.pnp.pose_jump_max_m) | overwhelming)
+        ok = ok & (jump <= cfg.pnp.pose_jump_max_m) & jnp.all(jnp.isfinite(T_est))
     T_cw = jnp.where(ok, T_est, T_pred)
 
     # ---- 7. map maintenance -------------------------------------------------
@@ -312,6 +321,11 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     src_bad = jnp.where(has_obs, map_bad[mp_slot], False)
 
     velocity = T_cw @ lie.T_inv(state.T_cw)
+    if cfg.pnp.max_velocity_m > 0:
+        vel_sane = (
+            jnp.linalg.norm(velocity[:3, 3]) <= cfg.pnp.max_velocity_m
+        ) & jnp.all(jnp.isfinite(velocity))
+        velocity = jnp.where(vel_sane, velocity, state.velocity)
 
     new_state = state._replace(
         frame_idx=t,
@@ -328,6 +342,11 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
         map_bad=_set_region(map_bad, t, K, W, src_bad),
         map_create_id=_set_region(state.map_create_id, t, K, W, jnp.where(src_valid, src_create, -100)),
         map_uid=_set_region(state.map_uid, t, K, W, jnp.where(src_valid, src_uid, -1)),
+        win_T_cw=state.win_T_cw.at[jnp.mod(t, W)].set(T_cw),
+        win_uv=state.win_uv.at[jnp.mod(t, W)].set(kp.uv),
+        win_disp=state.win_disp.at[jnp.mod(t, W)].set(
+            jnp.where(st.valid, st.disparity, -1.0)
+        ),
     )
     return new_state, TrackOutputs(
         T_cw=T_cw,

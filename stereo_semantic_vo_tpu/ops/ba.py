@@ -92,13 +92,16 @@ def motion_only_ba(
     T0_cw: (4, 4) initial pose; X_w: (K, 3); uv: (K, 2); mask: (K,) bool.
 
     When ``cfg.trim_px > 0`` the optimization is *trimmed*: observations whose
-    residual at the seed pose exceeds trim_px are masked out, and the
-    classification is refreshed once at the halfway pose.  This is the
-    round-structured outlier handling of ORB-SLAM-style pose optimization
-    (classify -> optimize -> reclassify) that the reference's single
-    ``optimize(10)`` pass (src/Optimizer.cc:75-76) lacks — without it a
-    contaminated match set (gate-only matching has no guided-search prior)
-    can drag the Huber cost basin off the consensus pose.
+    residual at the seed pose exceeds trim_px are masked out, so the LM
+    solves on the seed's consensus set.  This is the classify->optimize
+    outlier handling of ORB-SLAM-style pose optimization that the
+    reference's single ``optimize(10)`` pass (src/Optimizer.cc:75-76) lacks
+    — without it a contaminated match set (gate-only matching has no
+    guided-search prior) can drag the Huber cost basin off the consensus
+    pose.  Classification happens once at the seed (a RANSAC-refined pose,
+    so its inlier geometry is already trustworthy); an in-scan
+    reclassification branch was measured to multiply XLA compile time ~7x
+    for negligible accuracy difference.
     """
     chi2_th = cfg.huber_delta**2
     trim_on = use_huber and cfg.trim_px > 0.0
@@ -131,48 +134,36 @@ def motion_only_ba(
             rho = r2
         return jnp.sum(w_geom * rho), (r, w_geom, r2)
 
-    def run_round(T_init, mw, n_iters):
-        def step(carry, _):
-            T, lam, cost = carry
-            if use_pallas:
-                H, g, _ = motion_hessian_gradient(
-                    T, Xt, uvt, mw[None, :], cam, float(cfg.huber_delta)
-                )
-            else:
-                _, (r, w_geom, r2) = robust_cost(T, mw)
-                w = w_geom * (huber_weights(r2, cfg.huber_delta) if use_huber else 1.0)
-                J = _pose_jacobian(T, X_w, cam)                   # (K, 2, 6)
-                Jw = J * w[:, None, None]
-                H = jnp.einsum("kif,kig->fg", Jw, J)              # (6, 6)
-                g = jnp.einsum("kif,ki->f", Jw, r)                # (6,)
-            Hl = H + lam * jnp.diag(jnp.diagonal(H) + 1e-9)
-            delta = -jnp.linalg.solve(Hl, g)
-            T_new = lie.se3_exp(delta) @ T
-            new_cost, _ = robust_cost(T_new, mw)
-            accept = new_cost < cost
-            T = jnp.where(accept, T_new, T)
-            lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
-            lam = jnp.clip(lam, 1e-9, 1e6)
-            cost = jnp.where(accept, new_cost, cost)
-            return (T, lam, cost), accept
+    def step(carry, i):
+        T, lam, cost, mw = carry
+        if use_pallas:
+            H, g, _ = motion_hessian_gradient(
+                T, Xt, uvt, mw[None, :], cam, float(cfg.huber_delta)
+            )
+        else:
+            _, (r, w_geom, r2) = robust_cost(T, mw)
+            w = w_geom * (huber_weights(r2, cfg.huber_delta) if use_huber else 1.0)
+            J = _pose_jacobian(T, X_w, cam)                   # (K, 2, 6)
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("kif,kig->fg", Jw, J)              # (6, 6)
+            g = jnp.einsum("kif,ki->f", Jw, r)                # (6,)
+        Hl = H + lam * jnp.diag(jnp.diagonal(H) + 1e-9)
+        delta = -jnp.linalg.solve(Hl, g)
+        T_new = lie.se3_exp(delta) @ T
+        new_cost, _ = robust_cost(T_new, mw)
+        accept = new_cost < cost
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return (T, lam, cost, mw), accept
 
-        cost0, _ = robust_cost(T_init, mw)
-        return jax.lax.scan(
-            step, (T_init, jnp.float32(cfg.init_lambda), cost0), None, length=n_iters
-        )
-
-    if trim_on:
-        # two rounds: optimize on the seed-pose consensus, reclassify at the
-        # halfway pose (never widening past the original match mask), finish
-        n1 = max(cfg.iterations // 2, 1)
-        (T, _, _), acc1 = run_round(T0_cw, m, n1)
-        r1, z1 = reprojection_residuals(T, X_w, uv, cam)
-        close1 = jnp.sum(r1 * r1, axis=-1) <= cfg.trim_px**2
-        m = mask.astype(jnp.float32) * close1 * (z1 > 0.05)
-        (T, _, cost), acc2 = run_round(T, m, max(cfg.iterations - n1, 1))
-        accepts = jnp.concatenate([acc1, acc2])
-    else:
-        (T, _, cost), accepts = run_round(T0_cw, m, cfg.iterations)
+    cost0, _ = robust_cost(T0_cw, m)
+    (T, _, cost, m), accepts = jax.lax.scan(
+        step,
+        (T0_cw, jnp.float32(cfg.init_lambda), cost0, m),
+        jnp.arange(cfg.iterations),
+    )
     r, z = reprojection_residuals(T, X_w, uv, cam)
     r2 = jnp.sum(r * r, axis=-1)
     inliers = mask & (z > 0.05) & (r2 <= chi2_th * 4.0)

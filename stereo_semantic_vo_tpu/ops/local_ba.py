@@ -54,11 +54,22 @@ class NormalEq(NamedTuple):
     cost: jax.Array
 
 
-def _residual_and_jacobians(poses, points, obs_uv, obs_mask, cam, huber_delta):
+def _residual_and_jacobians(
+    poses, points, obs_uv, obs_mask, cam, huber_delta,
+    obs_ur=None, obs_r_mask=None,
+):
     """Residuals + analytic Jacobians for all (frame, landmark) pairs.
 
     poses (F,4,4), points (L,3), obs_uv (F,L,2), obs_mask (F,L) ->
-    r (F,L,2), w (F,L) IRLS weights, Jc (F,L,2,6), Jp (F,L,2,3), cost ().
+    r (F,L,C), w (F,L) IRLS weights, Jc (F,L,C,6), Jp (F,L,C,3), cost ().
+
+    With ``obs_ur``/``obs_r_mask`` (F,L) given, a third *stereo* residual
+    u_R = u - bf/z is added per observation (masked per-observation, since
+    sparse stereo can fail where tracking succeeded).  This is the
+    ORB-SLAM-class stereo BA edge (g2o EdgeStereoSE3ProjectXYZ): without it
+    joint window BA silently *replaces* each landmark's precise one-frame
+    stereo depth with weak few-frame-baseline triangulation and makes the
+    estimate worse, not better.
     """
     R = poses[:, :3, :3]                       # (F, 3, 3)
     t = poses[:, :3, 3]                        # (F, 3)
@@ -70,7 +81,23 @@ def _residual_and_jacobians(poses, points, obs_uv, obs_mask, cam, huber_delta):
     fx, fy = cam.fx, cam.fy
     u = fx * x * iz + cam.cx
     v = fy * y * iz + cam.cy
-    r = jnp.stack([u, v], axis=-1) - obs_uv    # (F, L, 2)
+    stereo = obs_ur is not None
+
+    zeros = jnp.zeros_like(z)
+    rows = [u - obs_uv[..., 0], v - obs_uv[..., 1]]
+    jrows = [
+        jnp.stack([fx * iz, zeros, -fx * x * iz2], axis=-1),
+        jnp.stack([zeros, fy * iz, -fy * y * iz2], axis=-1),
+    ]
+    if stereo:
+        wr = obs_r_mask.astype(jnp.float32)
+        rows.append((u - cam.bf * iz - obs_ur) * wr)
+        # d(u_R)/dpc = d(u)/dpc + bf/z^2 * dz/dpc,  dz/dpc = (0, 0, 1)
+        jrows.append(
+            jnp.stack([fx * iz, zeros, -fx * x * iz2 + cam.bf * iz2], axis=-1)
+            * wr[..., None]
+        )
+    r = jnp.stack(rows, axis=-1)               # (F, L, C)
 
     w_geom = obs_mask.astype(jnp.float32) * (z > 0.05)
     r2 = jnp.sum(r * r, axis=-1)
@@ -79,23 +106,16 @@ def _residual_and_jacobians(poses, points, obs_uv, obs_mask, cam, huber_delta):
     rho = jnp.where(r2 <= d * d, r2, 2.0 * d * jnp.sqrt(jnp.maximum(r2, 1e-12)) - d * d)
     cost = jnp.sum(w_geom * rho)
 
-    zeros = jnp.zeros_like(z)
-    # d(residual)/d(camera-point), (F, L, 2, 3)
-    duv_dpc = jnp.stack(
-        [
-            jnp.stack([fx * iz, zeros, -fx * x * iz2], axis=-1),
-            jnp.stack([zeros, fy * iz, -fy * y * iz2], axis=-1),
-        ],
-        axis=-2,
-    )
+    # d(residual)/d(camera-point), (F, L, C, 3)
+    duv_dpc = jnp.stack(jrows, axis=-2)
     # pose twist [rho, phi], left-multiplied update: dpc/dxi = [I, -hat(pc)]
     hat_pc = lie.hat(pc)                       # (F, L, 3, 3)
     dpc_dxi = jnp.concatenate(
         [jnp.broadcast_to(jnp.eye(3), pc.shape[:-1] + (3, 3)), -hat_pc], axis=-1
     )                                          # (F, L, 3, 6)
-    Jc = jnp.einsum("flij,fljk->flik", duv_dpc, dpc_dxi)  # (F, L, 2, 6)
+    Jc = jnp.einsum("flij,fljk->flik", duv_dpc, dpc_dxi)  # (F, L, C, 6)
     # dpc/dX = R  ->  Jp = duv_dpc @ R
-    Jp = jnp.einsum("flij,fjk->flik", duv_dpc, R)         # (F, L, 2, 3)
+    Jp = jnp.einsum("flij,fjk->flik", duv_dpc, R)         # (F, L, C, 3)
     return r, w, Jc, Jp, cost
 
 
@@ -103,7 +123,12 @@ def _residual_and_jacobians(poses, points, obs_uv, obs_mask, cam, huber_delta):
 def build_normal_equations(
     poses, points, obs_uv, obs_mask, cam: Camera, huber_delta: float,
     backend: str = "xla",
+    obs_ur=None, obs_r_mask=None,
 ) -> NormalEq:
+    if backend == "pallas" and obs_ur is not None:
+        # the fused kernel builds 2-component (mono) blocks; stereo edges
+        # take the XLA einsum path until the kernel grows a third row
+        backend = "xla"
     if backend == "pallas":
         # fused landmark-block build (kernels/ba_hessian.local_ba_blocks):
         # Jc/Jp never materialize, blocks accumulate in VMEM
@@ -119,7 +144,7 @@ def build_normal_equations(
         )
         return NormalEq(Hcc=Hcc, Hcp=Hcp, Hpp=Hpp, gc=gc, gp=gp, cost=cost)
     r, w, Jc, Jp, cost = _residual_and_jacobians(
-        poses, points, obs_uv, obs_mask, cam, huber_delta
+        poses, points, obs_uv, obs_mask, cam, huber_delta, obs_ur, obs_r_mask
     )
     Jc_w = Jc * w[..., None, None]
     Hcc = jnp.einsum("flia,flib->fab", Jc_w, Jc)          # (F, 6, 6)
@@ -182,14 +207,19 @@ def local_ba(
     cam: Camera,
     cfg: BAConfig,
     fix_first_pose: bool = True,
+    obs_ur: jax.Array | None = None,
+    obs_r_mask: jax.Array | None = None,
 ) -> LocalBAResult:
     """LM loop over Schur-complement steps.  All shapes static:
     poses (F,4,4), points (L,3), obs_uv (F,L,2), obs_mask (F,L),
-    point_valid (L,)."""
+    point_valid (L,).  ``obs_ur``/``obs_r_mask`` (F,L) add per-observation
+    stereo edges (see _residual_and_jacobians)."""
     obs_mask = obs_mask & point_valid[None, :]
 
     def total_cost(po, pt):
-        eq_cost = _residual_and_jacobians(po, pt, obs_uv, obs_mask, cam, cfg.huber_delta)[4]
+        eq_cost = _residual_and_jacobians(
+            po, pt, obs_uv, obs_mask, cam, cfg.huber_delta, obs_ur, obs_r_mask
+        )[4]
         return eq_cost
 
     def step(carry, _):
@@ -197,6 +227,7 @@ def local_ba(
         eq = build_normal_equations(
             po, pt, obs_uv, obs_mask, cam, cfg.huber_delta,
             backend=resolve_backend(cfg.local_hessian_backend, "pallas", "xla"),
+            obs_ur=obs_ur, obs_r_mask=obs_r_mask,
         )
         dx_c, dx_p = schur_solve(eq, lam, point_valid, fix_first_pose)
         po_new = jax.vmap(lambda d, T: lie.se3_exp(d) @ T)(dx_c, po)
