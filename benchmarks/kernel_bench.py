@@ -72,9 +72,7 @@ def make_scan_timer():
     probe = jnp.zeros((8, 128), jnp.float32)
     floor = _median_wall(trivial, probe)
 
-    def scan_ms(body, *args):
-        """body(eps, *args) -> pytree of arrays; returns per-iteration ms."""
-
+    def scan_once(body, args, n_iter):
         @jax.jit
         def run(*inner):
             *tensors, salt = inner
@@ -85,11 +83,22 @@ def make_scan_timer():
                 acc = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
                 return acc * jnp.float32(1e-30) + salt * jnp.float32(1e-20), ()
 
-            eps, _ = jax.lax.scan(step, salt * jnp.float32(1e-6), None, length=N_ITER)
+            eps, _ = jax.lax.scan(step, salt * jnp.float32(1e-6), None, length=n_iter)
             return eps
 
         total = _median_wall(run, *args)
-        return max(total - floor, 0.0) / N_ITER * 1e3
+        return max(total - floor, 0.0) / n_iter * 1e3
+
+    def scan_ms(body, *args):
+        """body(eps, *args) -> pytree of arrays; returns per-iteration ms.
+
+        Measurements below timer resolution (< ~5 us/iter: the wall is all
+        sync floor) are retried with a 16x longer scan so the winner table
+        never records a meaningless 0.0 (round-3 verdict, weak #3)."""
+        v = scan_once(body, args, N_ITER)
+        if v < 0.005:
+            v = scan_once(body, args, N_ITER * 16)
+        return v
 
     return scan_ms, floor
 
@@ -282,6 +291,50 @@ def main() -> None:
     numeric = {k: v for k, v in build.items() if isinstance(v, float)}
     build["winner"] = min(numeric, key=numeric.__getitem__)
     results["kernels"]["local_ba_block_build_F4_L2048"] = build
+
+    # ---- 6. descriptor patch extraction (K=512, 31x31, smoothed pyramid L0) -
+    from stereo_semantic_vo_tpu.ops.orb import _get_patches, _smooth
+
+    img_s = jax.jit(lambda im: _smooth(im, cfg.orb.smooth_width))(img)
+    xy = jnp.stack(
+        [
+            jnp.asarray(rng.randint(20, W - 20, K), jnp.int32),
+            jnp.asarray(rng.randint(20, H - 20, K), jnp.int32),
+        ],
+        axis=-1,
+    )
+    r_half = cfg.orb.patch_size // 2
+    patches = {
+        "xla": scan_ms(
+            lambda e, im: _get_patches(im + e, xy, r_half, "xla"), img_s
+        ),
+        "pallas": scan_ms(
+            lambda e, im: _get_patches(im + e, xy, r_half, "pallas"), img_s
+        ),
+    }
+    numeric = {k: v for k, v in patches.items() if isinstance(v, float)}
+    patches["winner"] = min(numeric, key=numeric.__getitem__)
+    results["kernels"]["patch_extract_K512_31x31"] = patches
+
+    # ---- 7. dense disparity, full KITTI frame (the reference's #1 workload:
+    # MSA::solve costs 2.41 s/frame of its ~2.43 s total — reference_cost.md)
+    from stereo_semantic_vo_tpu.ops.dense_stereo import dense_disparity
+
+    dense = {}
+    for refine, tag in ((True, "sgm4+refine"), (False, "sgm4")):
+        dcfg = dataclasses.replace(cfg.stereo, refine=refine)
+        dense[tag] = scan_ms(
+            lambda e, l, r: dense_disparity(l + e, r + e, dcfg).disparity,
+            img,
+            right,
+        )
+    numeric = {k: v for k, v in dense.items() if isinstance(v, float)}
+    if numeric:
+        ref_ms = 2410.0  # measured MSA::solve, benchmarks/reference_cost.md
+        dense["vs_reference_msa"] = {
+            k: round(ref_ms / v, 1) for k, v in numeric.items()
+        }
+    results["kernels"]["dense_disparity_1241x376_D48"] = dense
 
     print(json.dumps(results, indent=2))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kernel_bench.json")
