@@ -270,9 +270,10 @@ class VOConfig:
         """KITTI intrinsics + the measured-winner execution backends.
 
         Winners per benchmarks/kernel_bench.json (TPU v5e, on-chip scan
-        timing — see docs/PERFORMANCE.md "Kernel backends"): Pallas fused
-        matcher (2.1x over the MXU matmul form), Pallas tile sparse-stereo
-        kernel (14x over the cost-volume form), XLA FAST scoring, XLA BA
+        timing, regenerated at HEAD — see docs/PERFORMANCE.md "Kernel
+        backends"): Pallas fused matcher (1.8x over the MXU matmul form),
+        Pallas tile sparse-stereo kernel (12.6x over the cost-volume form),
+        Pallas patch extraction (20x), XLA FAST scoring, XLA motion-BA
         build.  The Pallas kernels run in interpreter mode off-TPU, which is
         a correctness path, not a production one — on CPU the "auto" knobs
         resolve to the fastest compiled XLA formulations instead.  Resolution
@@ -290,8 +291,9 @@ class VOConfig:
             matcher=MatcherConfig(backend="auto", search_radius_px=150.0),
             pnp=PnPConfig(pose_jump_max_m=1.5, seed_bonus=8, max_velocity_m=4.0),
             stereo=StereoConfig(sparse_mode="auto"),
-            # motion-only build: XLA wins (0.139 vs 0.144 ms); the local/window
-            # block build: the fused Pallas kernel wins (see kernel_bench.json)
+            # motion-only build: XLA wins (0.157 vs 0.159 ms); the local/window
+            # block build: the fused Pallas kernel wins 8.1x (0.0189 vs
+            # 0.153 ms at F=4 x L=2048 — kernel_bench.json at HEAD)
             ba=BAConfig(local_hessian_backend="auto", trim_px=10.0),
         )
 

@@ -3,12 +3,12 @@
 The ORB describe path needs a (2r+1)^2 patch around every keypoint
 (ops/orb._patches; reference analogue: the per-keypoint IC_Angle /
 computeOrbDescriptor patch walks inside cv::ORB, frame.cc:75-79).  The XLA
-formulations are all scalar-core bound on TPU: a vmapped dynamic_slice
-serializes K slice ops (~0.40 ms for 256 keypoints), and one-shot gathers
-are worse (2.4-3.0 ms measured — benchmarks/kernel_bench.json
-"patch_extract").  This kernel streams aligned tiles with double-buffered
-DMA exactly like kernels/sparse_stereo.py and realigns in VMEM with
-hardware dynamic-rotates.
+formulations are all scalar-core bound on TPU: the vmapped dynamic_slice
+path serializes K slice ops — 0.792 ms at K=512/31x31 vs this kernel's
+0.039 ms (20x; benchmarks/kernel_bench.json "patch_extract_K512_31x31",
+measured at HEAD on v5e).  This kernel streams aligned tiles with
+double-buffered DMA exactly like kernels/sparse_stereo.py and realigns in
+VMEM with hardware dynamic-rotates.
 
 Output layout: (K, 8, 128)-tiled slabs, patch at [k, :P, :P] with P = 2r+1
 <= 32, rest undefined padding.  Consumers fold the slab stride into their

@@ -48,15 +48,17 @@ DYN_FRAMES = 55    # frames of the culling comparison (objects in view)
 
 
 def _config() -> VOConfig:
-    # production config + the two knobs the replay world motivates: the
-    # reference's own YAML requests 2000 features (KITTI00-02.yaml:36), and
-    # with the motion-prior spatial gate active the ratio test can relax
+    # production config + three knobs the replay world motivates: the
+    # reference's own YAML requests 2000 features (KITTI00-02.yaml:36), the
+    # motion-prior spatial gate lets the ratio test relax, and an 8-frame
+    # window doubles map re-observation anchoring (halves ATE vs the
+    # reference's 4-frame window at ~0.4 ms extra matching)
+    base = VOConfig.kitti("00")
     return dataclasses.replace(
-        VOConfig.kitti("00"),
-        orb=dataclasses.replace(VOConfig.kitti("00").orb, max_keypoints=1024),
-        matcher=dataclasses.replace(
-            VOConfig.kitti("00").matcher, local_map_ratio=1.2
-        ),
+        base,
+        orb=dataclasses.replace(base.orb, max_keypoints=1024),
+        matcher=dataclasses.replace(base.matcher, local_map_ratio=1.2),
+        window=dataclasses.replace(base.window, window_frames=8),
     )
 
 
@@ -115,9 +117,10 @@ class TestCleanReplay:
         poses, est, pipe = clean_run
         path = np.sum(np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1))
         err = ate_rmse(est, poses, align=False)
-        # measured ~4.6% on this splat world (docs/ACCURACY.md; ORB-SLAM2 on
-        # the real imagery of the same segment: 1.20%) — bound with margin
-        assert err < 0.07 * path, f"ATE {err:.2f} m over {path:.1f} m"
+        # measured ~2.3% on this splat world at W=8 (docs/ACCURACY.md;
+        # ORB-SLAM2 on the real imagery of the same segment: 1.20%) —
+        # bound with margin
+        assert err < 0.05 * path, f"ATE {err:.2f} m over {path:.1f} m"
 
     def test_drift_rate(self, clean_run):
         poses, est, pipe = clean_run
@@ -140,9 +143,10 @@ class TestSemanticCullingOnReplay:
         culled = sum(int(o.n_culled_dynamic) for o in pipe_on.outputs)
         path = np.sum(np.linalg.norm(np.diff(sub[:, :3, 3], axis=0), axis=1))
         # the epipolar moving-object test must actually fire...
-        assert culled > 30, culled
-        # ...and measurably protect the trajectory (measured: 12.6% vs 26.6%)
-        assert ate_on < 0.75 * ate_off, (
+        assert culled > 50, culled
+        # ...and measurably protect the trajectory (measured at W=8:
+        # 5.5% with culling vs 25.6% without)
+        assert ate_on < 0.5 * ate_off, (
             f"culling on {ate_on:.2f} m vs off {ate_off:.2f} m"
         )
-        assert ate_on < 0.20 * path, f"{ate_on:.2f} m over {path:.1f} m"
+        assert ate_on < 0.12 * path, f"{ate_on:.2f} m over {path:.1f} m"
