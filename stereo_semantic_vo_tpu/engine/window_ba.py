@@ -215,7 +215,9 @@ class WindowBA:
         if mesh is not None:
             from stereo_semantic_vo_tpu.parallel.sharded_ba import make_sharded_local_ba
 
-            self._sharded = make_sharded_local_ba(mesh, self.cam, cfg.ba)
+            self._sharded = make_sharded_local_ba(
+                mesh, self.cam, cfg.ba, stereo_edges=True
+            )
 
     def ready(self, state: VOState) -> bool:
         return int(state.frame_idx) + 1 >= self.cfg.window.window_frames
@@ -235,7 +237,10 @@ class WindowBA:
         if n_points < 8:
             return state, {"n_obs": float(obs.n_obs), "n_points": 0.0, "cost": 0.0}
 
-        res = self._sharded(poses, state.map_Xw, obs.obs_uv, obs.obs_mask, obs.point_valid)
+        res = self._sharded(
+            poses, state.map_Xw, obs.obs_uv, obs.obs_mask, obs.point_valid,
+            obs.obs_ur, obs.obs_r_mask,
+        )
         new_Xw = _write_back(
             state.map_Xw, res.points, obs.point_valid, obs.primary_idx, obs.has_primary
         )

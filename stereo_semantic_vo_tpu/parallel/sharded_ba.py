@@ -49,26 +49,39 @@ class ShardedBAResult(NamedTuple):
     cost: jax.Array    # () replicated
 
 
-def _local_cost(poses, points, obs_uv, obs_mask, cam, delta, axis):
-    c = _residual_and_jacobians(poses, points, obs_uv, obs_mask, cam, delta)[4]
+def _local_cost(poses, points, obs_uv, obs_mask, cam, delta, axis,
+                obs_ur=None, obs_r_mask=None):
+    c = _residual_and_jacobians(
+        poses, points, obs_uv, obs_mask, cam, delta, obs_ur, obs_r_mask
+    )[4]
     return jax.lax.psum(c, axis)
 
 
 @f32_geometry
 def _sharded_ba_body(
     poses, points, obs_uv, obs_mask, point_valid, cam: Camera, cfg: BAConfig,
-    fix_first_pose: bool, axis: str,
+    fix_first_pose: bool, axis: str, obs_ur=None, obs_r_mask=None,
 ):
-    """Runs inside shard_map: points/obs arrays are the *local* shard."""
+    """Runs inside shard_map: points/obs arrays are the *local* shard.
+    ``obs_ur``/``obs_r_mask`` add the stereo BA edge (u_R = u - bf/z) per
+    observation — same semantics as the single-device ops/local_ba path;
+    both shard over landmarks like every other obs tensor, so the collective
+    structure is unchanged."""
     F = poses.shape[0]
     obs_mask = obs_mask & point_valid[None, :]
 
     def cost_fn(po, pt):
-        return _local_cost(po, pt, obs_uv, obs_mask, cam, cfg.huber_delta, axis)
+        return _local_cost(
+            po, pt, obs_uv, obs_mask, cam, cfg.huber_delta, axis,
+            obs_ur, obs_r_mask,
+        )
 
     def step(carry, _):
         po, pt, lam, cost = carry
-        eq = build_normal_equations(po, pt, obs_uv, obs_mask, cam, cfg.huber_delta)
+        eq = build_normal_equations(
+            po, pt, obs_uv, obs_mask, cam, cfg.huber_delta,
+            obs_ur=obs_ur, obs_r_mask=obs_r_mask,
+        )
         pv = point_valid.astype(jnp.float32)
 
         Hpp_d = _damp(eq.Hpp, lam)
@@ -116,13 +129,41 @@ def _sharded_ba_body(
 
 
 def make_sharded_local_ba(
-    mesh: Mesh, cam: Camera, cfg: BAConfig, fix_first_pose: bool = True
+    mesh: Mesh, cam: Camera, cfg: BAConfig, fix_first_pose: bool = True,
+    stereo_edges: bool = False,
 ):
     """Build the jitted distributed BA: landmark-sharded points/observations,
-    replicated poses.  Landmark count must divide the mesh size."""
+    replicated poses.  Landmark count must divide the mesh size.  With
+    ``stereo_edges`` the runner takes two extra landmark-sharded (F, L)
+    arrays (obs_ur, obs_r_mask) adding the stereo residual per observation."""
     axis = LANDMARK_AXIS
     pspec_rep = P()
     pspec_lm = P(axis)
+
+    if stereo_edges:
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(pspec_rep, pspec_lm, P(None, axis), P(None, axis),
+                      pspec_lm, P(None, axis), P(None, axis)),
+            out_specs=(pspec_rep, pspec_lm, pspec_rep),
+            check_vma=False,
+        )
+        def _body_st(poses, points, obs_uv, obs_mask, point_valid, obs_ur, obs_rm):
+            return _sharded_ba_body(
+                poses, points, obs_uv, obs_mask, point_valid, cam, cfg,
+                fix_first_pose, axis, obs_ur, obs_rm,
+            )
+
+        @jax.jit
+        def run_st(poses, points, obs_uv, obs_mask, point_valid,
+                   obs_ur, obs_r_mask) -> ShardedBAResult:
+            po, pt, cost = _body_st(
+                poses, points, obs_uv, obs_mask, point_valid, obs_ur, obs_r_mask
+            )
+            return ShardedBAResult(poses=po, points=pt, cost=cost)
+
+        return run_st
 
     @functools.partial(
         jax.shard_map,

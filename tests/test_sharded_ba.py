@@ -71,3 +71,36 @@ class TestShardedBA:
         res = run(poses0, X0, obs, mask, pv)
         ref = local_ba.local_ba(poses0, X0, obs, mask, pv, CAM, BAConfig(local_iterations=4))
         np.testing.assert_allclose(np.asarray(res.cost), np.asarray(ref.cost), rtol=1e-3)
+
+
+class TestShardedStereoEdges:
+    def test_matches_single_device_with_stereo_edges(self, problem):
+        """The distributed solver must agree with ops/local_ba when both use
+        the u_R stereo edge (round-4 parity: the single-device path gained
+        stereo edges for window BA; the sharded path shards them over
+        landmarks like every other obs tensor)."""
+        poses_gt, poses0, X0, obs, mask = problem
+        F, L = obs.shape[:2]
+        pv = jnp.ones(L, bool)
+        cfg = BAConfig(local_iterations=8)
+        # synthesize consistent stereo observations from the GT geometry:
+        # u_R = u - bf/z at the ground-truth poses (plus the same obs noise
+        # statistics the uv observations carry)
+        pc = jnp.einsum("fij,lj->fli", poses_gt[:, :3, :3], X0) + poses_gt[:, None, :3, 3]
+        z = jnp.maximum(pc[..., 2], 1e-3)
+        obs_ur = obs[..., 0] - CAM.bf / z
+        obs_rm = mask & (z > 0.5)
+
+        ref = local_ba.local_ba(
+            poses0, X0, obs, mask, pv, CAM, cfg, obs_ur=obs_ur, obs_r_mask=obs_rm
+        )
+        m = mesh_utils.make_mesh(8)
+        run = make_sharded_local_ba(m, CAM, cfg, stereo_edges=True)
+        res = run(poses0, X0, obs, mask, pv, obs_ur, obs_rm)
+
+        assert np.isfinite(float(res.cost))
+        assert abs(float(res.cost) - float(ref.cost)) <= 0.02 * max(
+            float(ref.cost), 1.0
+        )
+        pose_d = np.max(np.abs(np.asarray(res.poses) - np.asarray(ref.poses)))
+        assert pose_d < 5e-3, pose_d
