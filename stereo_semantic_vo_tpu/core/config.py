@@ -179,8 +179,8 @@ class PnPConfig:
     min_inliers: int = 10
     seed: int = 0
     # physical plausibility: reject a pose that lands farther than this (m)
-    # from the constant-velocity prediction, unless its consensus is
-    # overwhelming (>= 3x min_inliers).  Repetitive-texture aliasing can
+    # from the constant-velocity prediction — applied unconditionally
+    # (no inlier-count escape hatch).  Repetitive-texture aliasing can
     # assemble a consistent wrong consensus that teleports the pose by tens
     # of meters (and poisons the velocity model with it); a vehicle cannot
     # do that between frames.  0 disables (reference-faithful: the reference
@@ -211,9 +211,10 @@ class BAConfig:
     lambda_up: float = 10.0
     lambda_down: float = 0.1
     # trimmed motion BA: observations farther than this (px) from the seed
-    # pose are excluded, reclassified once mid-optimization — the
-    # round-structured outlier rejection of ORB-SLAM-class pose optimizers
-    # that the reference's single optimize(10) lacks (Optimizer.cc:75-76).
+    # pose are excluded (classified once at the seed pose; a mid-scan
+    # reclassification was removed for its ~7x compile-time cost) — the
+    # outlier rejection of ORB-SLAM-class pose optimizers that the
+    # reference's single optimize(10) lacks (Optimizer.cc:75-86).
     # 0 disables (reference-faithful single pass; the default — trimming
     # assumes a RANSAC-grade seed, which bare motion_only_ba callers may
     # not have).

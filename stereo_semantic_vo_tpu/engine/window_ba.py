@@ -143,6 +143,32 @@ def _window_view(state: VOState, W: int, K: int):
     return order, poses, win_uid, win_uv, win_valid, win_disp
 
 
+def _trim_and_gate(state, obs, poses, cam, cfg):
+    """Shared seed-pose trim + solvability gate for both refine paths.
+
+    Trim at the seed poses: an observation already far off is a wrong match
+    (aliased descriptor), and joint LM would drag its landmark — and through
+    Hcp every window pose — toward the outlier.  Same policy as the trimmed
+    motion BA (ops/ba.py).  Returns (obs_mask, point_valid, can): the trimmed
+    observation mask, the surviving-landmark mask, and the device-scalar
+    "window is solvable" flag."""
+    W = poses.shape[0]
+    obs_mask = obs.obs_mask
+    if cfg.ba.trim_px > 0:
+        pc = jax.vmap(lambda T: lie.transform_points(T, state.map_Xw))(poses)
+        z = pc[..., 2]
+        safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+        u = cam.fx * pc[..., 0] / safe_z + cam.cx
+        v = cam.fy * pc[..., 1] / safe_z + cam.cy
+        r2 = (u - obs.obs_uv[..., 0]) ** 2 + (v - obs.obs_uv[..., 1]) ** 2
+        obs_mask = obs_mask & (r2 <= cfg.ba.trim_px**2) & (z > 0.05)
+    seen = jnp.sum(obs_mask, axis=0)
+    point_valid = obs.point_valid & (seen >= 2)
+    obs_mask = obs_mask & point_valid[None, :]
+    can = (state.frame_idx + 1 >= W) & (jnp.sum(point_valid) >= 8)
+    return obs_mask, point_valid, can
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 @f32_geometry
 def refine_state(state: VOState, cfg: VOConfig) -> VOState:
@@ -163,23 +189,7 @@ def refine_state(state: VOState, cfg: VOConfig) -> VOState:
         state.map_uid, state.map_valid, state.map_bad, state.frame_idx,
         win_uid, win_uv, win_valid, W, K, win_disp,
     )
-    obs_mask = obs.obs_mask
-    if cfg.ba.trim_px > 0:
-        # trim at the seed poses: an observation already far off is a wrong
-        # match (aliased descriptor), and joint LM would drag its landmark —
-        # and through Hcp every window pose — toward the outlier.  Same
-        # policy as the trimmed motion BA (ops/ba.py).
-        pc = jax.vmap(lambda T: lie.transform_points(T, state.map_Xw))(poses)
-        z = pc[..., 2]
-        safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
-        u = cam.fx * pc[..., 0] / safe_z + cam.cx
-        v = cam.fy * pc[..., 1] / safe_z + cam.cy
-        r2 = (u - obs.obs_uv[..., 0]) ** 2 + (v - obs.obs_uv[..., 1]) ** 2
-        obs_mask = obs_mask & (r2 <= cfg.ba.trim_px**2) & (z > 0.05)
-    seen = jnp.sum(obs_mask, axis=0)
-    point_valid = obs.point_valid & (seen >= 2)
-    obs_mask = obs_mask & point_valid[None, :]
-    can = (state.frame_idx + 1 >= W) & (jnp.sum(point_valid) >= 8)
+    obs_mask, point_valid, can = _trim_and_gate(state, obs, poses, cam, cfg)
 
     def do(st: VOState) -> VOState:
         res = local_ba_ops.local_ba(
@@ -212,45 +222,80 @@ class WindowBA:
         self.cfg = cfg
         self.cam = Camera.from_config(cfg.camera)
         self._sharded = None
+        self._refine_jit = None
+        self._mesh = mesh
         if mesh is not None:
             from stereo_semantic_vo_tpu.parallel.sharded_ba import make_sharded_local_ba
 
             self._sharded = make_sharded_local_ba(
                 mesh, self.cam, cfg.ba, stereo_edges=True
             )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # pin every output replicated: the VOState flows straight into the
+            # next track_step, and a GSPMD-chosen landmark sharding on a
+            # pass-through field would poison that (single-device) program
+            self._refine_jit = jax.jit(
+                self._sharded_refine,
+                out_shardings=NamedSharding(mesh, PartitionSpec()),
+            )
 
     def ready(self, state: VOState) -> bool:
         return int(state.frame_idx) + 1 >= self.cfg.window.window_frames
 
-    def refine(self, state: VOState) -> tuple[VOState, dict[str, float]]:
-        """Run window BA and fold results back into the tracker state."""
-        W = self.cfg.window.window_frames
-        K = self.cfg.orb.max_keypoints
-        if self._sharded is None:
-            return refine_state(state, self.cfg), {}
+    @f32_geometry
+    def _sharded_refine(self, state: VOState):
+        """Device-side sharded refine: obs build -> trim -> gate -> solve.
+
+        Same trim + solvability gate as the single-device refine_state (the
+        two engine paths optimize the same observation set), and no host
+        readback anywhere: the under-constrained case is handled by masking
+        every landmark out (the solve then deterministically returns zero
+        updates — rhs is exactly 0) plus a belt-and-braces ``where`` on the
+        outputs, instead of a Python branch on ``int(jnp.sum(...))``."""
+        cfg = self.cfg
+        W = cfg.window.window_frames
+        K = cfg.orb.max_keypoints
         order, poses, win_uid, win_uv, win_valid, win_disp = _window_view(state, W, K)
         obs = build_observations(
             state.map_uid, state.map_valid, state.map_bad, state.frame_idx,
             win_uid, win_uv, win_valid, W, K, win_disp,
         )
-        n_points = int(jnp.sum(obs.point_valid))  # one scalar sync per refine
-        if n_points < 8:
-            return state, {"n_obs": float(obs.n_obs), "n_points": 0.0, "cost": 0.0}
-
+        obs_mask, point_valid, can = _trim_and_gate(state, obs, poses, self.cam, cfg)
+        pv = point_valid & can
+        om = obs_mask & pv[None, :]
         res = self._sharded(
-            poses, state.map_Xw, obs.obs_uv, obs.obs_mask, obs.point_valid,
-            obs.obs_ur, obs.obs_r_mask,
+            poses, state.map_Xw, obs.obs_uv, om, pv,
+            obs.obs_ur, obs.obs_r_mask & om,
         )
+        # the solver leaves points landmark-sharded; the uid write-back
+        # gathers with arbitrary primary indices, so gather it replicated
+        # first (one all_gather of (L, 3) — small next to the solve)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        points = jax.sharding.reshard(res.points, NamedSharding(self._mesh, P()))
         new_Xw = _write_back(
-            state.map_Xw, res.points, obs.point_valid, obs.primary_idx, obs.has_primary
+            state.map_Xw, points, pv, obs.primary_idx, obs.has_primary
         )
         new_state = state._replace(
-            map_Xw=new_Xw,
-            T_cw=res.poses[-1],
-            win_T_cw=state.win_T_cw.at[order].set(res.poses),
+            map_Xw=jnp.where(can, new_Xw, state.map_Xw),
+            T_cw=jnp.where(can, res.poses[-1], state.T_cw),
+            win_T_cw=jnp.where(
+                can, state.win_T_cw.at[order].set(res.poses), state.win_T_cw
+            ),
         )
-        return new_state, {
-            "n_obs": float(obs.n_obs),
-            "n_points": float(n_points),
-            "cost": float(res.cost),
+        stats = {
+            "n_obs": jnp.sum(om),
+            "n_points": jnp.sum(pv),
+            "cost": res.cost,
         }
+        return new_state, stats
+
+    def refine(self, state: VOState) -> tuple[VOState, dict]:
+        """Run window BA and fold results back into the tracker state.
+
+        Stats are device scalars (deferred readback preserved — reading them
+        is the caller's choice to sync, not this path's)."""
+        if self._sharded is None:
+            return refine_state(state, self.cfg), {}
+        return self._refine_jit(state)

@@ -134,14 +134,16 @@ def motion_only_ba(
             rho = r2
         return jnp.sum(w_geom * rho), (r, w_geom, r2)
 
-    def step(carry, i):
-        T, lam, cost, mw = carry
+    def step(carry, _):
+        # the trim mask m is classified once at the seed and closed over —
+        # it is loop-invariant, so it rides the trace, not the carry
+        T, lam, cost = carry
         if use_pallas:
             H, g, _ = motion_hessian_gradient(
-                T, Xt, uvt, mw[None, :], cam, float(cfg.huber_delta)
+                T, Xt, uvt, m[None, :], cam, float(cfg.huber_delta)
             )
         else:
-            _, (r, w_geom, r2) = robust_cost(T, mw)
+            _, (r, w_geom, r2) = robust_cost(T, m)
             w = w_geom * (huber_weights(r2, cfg.huber_delta) if use_huber else 1.0)
             J = _pose_jacobian(T, X_w, cam)                   # (K, 2, 6)
             Jw = J * w[:, None, None]
@@ -150,19 +152,20 @@ def motion_only_ba(
         Hl = H + lam * jnp.diag(jnp.diagonal(H) + 1e-9)
         delta = -jnp.linalg.solve(Hl, g)
         T_new = lie.se3_exp(delta) @ T
-        new_cost, _ = robust_cost(T_new, mw)
+        new_cost, _ = robust_cost(T_new, m)
         accept = new_cost < cost
         T = jnp.where(accept, T_new, T)
         lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
         lam = jnp.clip(lam, 1e-9, 1e6)
         cost = jnp.where(accept, new_cost, cost)
-        return (T, lam, cost, mw), accept
+        return (T, lam, cost), accept
 
     cost0, _ = robust_cost(T0_cw, m)
-    (T, _, cost, m), accepts = jax.lax.scan(
+    (T, _, cost), accepts = jax.lax.scan(
         step,
-        (T0_cw, jnp.float32(cfg.init_lambda), cost0, m),
-        jnp.arange(cfg.iterations),
+        (T0_cw, jnp.float32(cfg.init_lambda), cost0),
+        None,
+        length=cfg.iterations,
     )
     r, z = reprojection_residuals(T, X_w, uv, cam)
     r2 = jnp.sum(r * r, axis=-1)
