@@ -121,6 +121,18 @@ class StereoConfig:
     # SGM-style scanline aggregation penalties (dense mode)
     p1: float = 1.0
     p2: float = 8.0
+    # edge-aware smoothing: P2 shrinks across intensity edges,
+    # P2'(p) = p1 + (p2 - p1) * exp(-|dI(p)| / edge_p2_gamma) along each
+    # scan direction — the SGM analogue of MSA's color-difference tree
+    # weights (Thirdparty/MB/MSA.cpp:152-191: edges directed low->high
+    # gradient with exp(-c/(sigma*255)) similarity).  False = classic
+    # constant-P2 SGM (the pre-round-5 behavior).
+    edge_p2: bool = False
+    edge_p2_gamma: float = 10.0
+    # scanline aggregation backend: "xla" (lax.scan, one cross-section per
+    # step — latency-bound) | "pallas" (VMEM-streamed scanline kernel,
+    # kernels/sgm_scan.py) | "auto" (pallas on TPU, xla elsewhere)
+    dense_backend: str = "auto"
     lr_consistency_px: float = 1.0    # LR check tolerance (MSA LRcheck, MSA.cpp:1027)
     refine: bool = True               # LR-guided third aggregation pass that
                                       # repairs inconsistent pixels

@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from stereo_semantic_vo_tpu.core.config import StereoConfig
+from stereo_semantic_vo_tpu.core.config import StereoConfig, resolve_backend
 from stereo_semantic_vo_tpu.kernels.median import median3x3
 
 
@@ -101,55 +101,120 @@ def cost_volume(
     return vol
 
 
-def _sgm_pass(vol: jax.Array, p1: float, p2: float, axis: int, reverse: bool) -> jax.Array:
+def _sgm_pass(vol: jax.Array, p1: float, p2: float, axis: int, reverse: bool,
+              p2x: jax.Array | None = None) -> jax.Array:
     """One directional SGM sweep.  vol: (H, W, D); scan along ``axis`` with the
-    whole cross-section (rows or columns) x D updated per step."""
+    whole cross-section (rows or columns) x D updated per step.  ``p2x``
+    (H, W), if given, replaces the scalar P2 per position (edge-aware
+    smoothing)."""
     D = vol.shape[-1]
     moved = jnp.moveaxis(vol, axis, 0)  # (S, X, D): scan over S
+    if p2x is None:
+        p2m = jnp.full(moved.shape[:2], jnp.float32(p2))
+    else:
+        p2m = jnp.moveaxis(p2x, axis, 0)
     big = jnp.float32(1e9)
 
-    def step(prev, c):
+    def step(prev, xs):
         # prev: (X, D) aggregated cost of previous position
+        c, p2row = xs
         prev_min = jnp.min(prev, axis=-1, keepdims=True)
         shift_m = jnp.concatenate([jnp.full_like(prev[:, :1], big), prev[:, :-1]], axis=1)
         shift_p = jnp.concatenate([prev[:, 1:], jnp.full_like(prev[:, :1], big)], axis=1)
         best = jnp.minimum(
-            jnp.minimum(prev, prev_min + p2),
+            jnp.minimum(prev, prev_min + p2row[:, None]),
             jnp.minimum(shift_m + p1, shift_p + p1),
         )
         out = c + best - prev_min
         return out, out
 
-    init = moved[0]
+    # a reverse sweep is exactly the forward sweep on the flipped axis
+    # (seeded with the far end's raw cost) — flip, scan, flip back
     if reverse:
-        _, agg = jax.lax.scan(step, init, moved[1:][::-1])
-        agg = jnp.concatenate([agg[::-1], init[None]], axis=0)
-    else:
-        _, agg = jax.lax.scan(step, init, moved[1:])
-        agg = jnp.concatenate([init[None], agg], axis=0)
+        moved = moved[::-1]
+        p2m = p2m[::-1]
+    init = moved[0]
+    _, agg = jax.lax.scan(step, init, (moved[1:], p2m[1:]))
+    agg = jnp.concatenate([init[None], agg], axis=0)
+    if reverse:
+        agg = agg[::-1]
     return jnp.moveaxis(agg, 0, axis)
 
 
-def sgm_aggregate(vol: jax.Array, cfg: StereoConfig) -> jax.Array:
-    """4-path SGM (horizontal both ways, vertical both ways)."""
-    acc = _sgm_pass(vol, cfg.p1, cfg.p2, 1, False)
-    acc = acc + _sgm_pass(vol, cfg.p1, cfg.p2, 1, True)
-    acc = acc + _sgm_pass(vol, cfg.p1, cfg.p2, 0, False)
-    acc = acc + _sgm_pass(vol, cfg.p1, cfg.p2, 0, True)
+def edge_p2_planes(
+    base: jax.Array, cfg: StereoConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Per-position P2 for horizontal / vertical scans from the base image.
+
+    P2'(p) = p1 + (p2 - p1) * exp(-|dI(p)| / gamma) with dI the central
+    intensity gradient along the scan axis: smoothing keeps full strength in
+    flat regions and collapses toward P1 across intensity edges — the SGM
+    analogue of MSA's color-difference tree weights directed low->high
+    gradient (Thirdparty/MB/MSA.cpp:152-191, setExp :1126-1130)."""
+    gx = jnp.abs(_xgrad(base))
+    gy = jnp.abs(jnp.moveaxis(_xgrad(jnp.moveaxis(base, 0, 1)), 0, 1))
+    lo = jnp.float32(cfg.p1)
+    span = jnp.float32(cfg.p2 - cfg.p1)
+    inv_g = 1.0 / cfg.edge_p2_gamma
+    return (
+        lo + span * jnp.exp(-gx * inv_g),
+        lo + span * jnp.exp(-gy * inv_g),
+    )
+
+
+def sgm_aggregate(
+    vol: jax.Array,
+    cfg: StereoConfig,
+    p2x_h: jax.Array | None = None,
+    p2x_v: jax.Array | None = None,
+    scale: float = 1.0,
+) -> jax.Array:
+    """4-path SGM (horizontal both ways, vertical both ways).
+
+    Backend per ``cfg.dense_backend``: the VMEM-streamed Pallas scanline
+    kernel on TPU, the lax.scan formulation elsewhere (bit-identical,
+    tests/test_sgm_pallas.py).  ``p2x_h``/``p2x_v`` (H, W) are optional
+    per-position P2 planes (edge_p2_planes); ``scale`` multiplies all
+    penalties (the refine pass runs at 0.5 — MSA's setExp(sigma/2))."""
+    p1 = cfg.p1 * scale
+    p2 = cfg.p2 * scale
+    if p2x_h is not None:
+        p2x_h = p2x_h * scale
+    if p2x_v is not None:
+        p2x_v = p2x_v * scale
+    backend = resolve_backend(cfg.dense_backend, "pallas", "xla")
+    if backend == "pallas":
+        from stereo_semantic_vo_tpu.kernels.sgm_scan import sgm_aggregate_pallas
+
+        return sgm_aggregate_pallas(
+            vol, p1, p2,
+            p2x_h=None if p2x_h is None else p2x_h.T,
+            p2x_v=p2x_v,
+        )
+    acc = _sgm_pass(vol, p1, p2, 1, False, p2x_h)
+    acc = acc + _sgm_pass(vol, p1, p2, 1, True, p2x_h)
+    acc = acc + _sgm_pass(vol, p1, p2, 0, False, p2x_v)
+    acc = acc + _sgm_pass(vol, p1, p2, 0, True, p2x_v)
     return acc
 
 
 def _wta_subpixel(agg: jax.Array, min_disp: float) -> jax.Array:
     """(H, W, D) -> (H, W) winner-take-all disparity with equiangular
     sub-pixel refinement (SAD costs are V-shaped; a two-line fit avoids the
-    parabola's pixel-locking bias)."""
+    parabola's pixel-locking bias).
+
+    Gather-free: the neighbours of the argmin are picked with one-hot
+    masked reductions along D instead of ``take_along_axis`` — on TPU the
+    three per-pixel gathers were 17.6 ms/frame of scalarized address math,
+    the masked reductions fuse into two streaming traversals of agg."""
     D = agg.shape[-1]
     best = jnp.argmin(agg, axis=-1)
-    c0 = jnp.take_along_axis(agg, best[..., None], axis=-1)[..., 0]
-    bm = jnp.clip(best - 1, 0, D - 1)
-    bp = jnp.clip(best + 1, 0, D - 1)
-    cm = jnp.take_along_axis(agg, bm[..., None], axis=-1)[..., 0]
-    cp = jnp.take_along_axis(agg, bp[..., None], axis=-1)[..., 0]
+    d_iota = jnp.arange(D, dtype=jnp.int32)
+    b = best[..., None]
+    big = jnp.float32(1e9)
+    c0 = jnp.min(jnp.where(d_iota == b, agg, big), axis=-1)
+    cm = jnp.min(jnp.where(d_iota == jnp.clip(b - 1, 0, D - 1), agg, big), axis=-1)
+    cp = jnp.min(jnp.where(d_iota == jnp.clip(b + 1, 0, D - 1), agg, big), axis=-1)
     denom = 2.0 * (jnp.maximum(cm, cp) - c0)
     delta = jnp.where(denom > 1e-6, (cm - cp) / denom, 0.0)
     return best.astype(jnp.float32) + jnp.clip(delta, -0.5, 0.5)
@@ -166,14 +231,19 @@ def dense_disparity(
     """Full dense pipeline with LR consistency.  left/right: (H, W) float32
     grayscale; optionally pass the (H, W, 3) color images for MSA's
     3-channel color cost (cost_volume docstring)."""
+    p2h_l = p2v_l = p2h_r = p2v_r = None
+    if cfg.edge_p2:
+        p2h_l, p2v_l = edge_p2_planes(left, cfg)
+        p2h_r, p2v_r = edge_p2_planes(right, cfg)
+
     vol_l = cost_volume(left, right, cfg, right_base=False,
                         left_rgb=left_rgb, right_rgb=right_rgb)
-    agg_l = sgm_aggregate(vol_l, cfg)
+    agg_l = sgm_aggregate(vol_l, cfg, p2h_l, p2v_l)
     disp_l = _wta_subpixel(agg_l, cfg.min_disparity)
 
     vol_r = cost_volume(left, right, cfg, right_base=True,
                         left_rgb=left_rgb, right_rgb=right_rgb)
-    agg_r = sgm_aggregate(vol_r, cfg)
+    agg_r = sgm_aggregate(vol_r, cfg, p2h_r, p2v_r)
     disp_r = _wta_subpixel(agg_r, cfg.min_disparity)
 
     # LR check: d_l(x) vs d_r(x - d_l(x))  (MSA LRcheck semantics)
@@ -202,12 +272,7 @@ def dense_disparity(
             jnp.abs(d_axis - disp_l[..., None]),
             0.0,
         )
-        agg_ref = (
-            _sgm_pass(vol_ref, cfg.p1 * 0.5, cfg.p2 * 0.5, 1, False)
-            + _sgm_pass(vol_ref, cfg.p1 * 0.5, cfg.p2 * 0.5, 1, True)
-            + _sgm_pass(vol_ref, cfg.p1 * 0.5, cfg.p2 * 0.5, 0, False)
-            + _sgm_pass(vol_ref, cfg.p1 * 0.5, cfg.p2 * 0.5, 0, True)
-        )
+        agg_ref = sgm_aggregate(vol_ref, cfg, p2h_l, p2v_l, scale=0.5)
         disp_ref = _wta_subpixel(agg_ref, cfg.min_disparity)
         # consistent pixels keep their (sub-pixel) first-pass estimate; failed
         # pixels take the repaired value
