@@ -303,7 +303,11 @@ class VOConfig:
             orb=ORBConfig(steer=False, patch_backend="auto"),
             matcher=MatcherConfig(backend="auto", search_radius_px=150.0),
             pnp=PnPConfig(pose_jump_max_m=1.5, seed_bonus=8, max_velocity_m=4.0),
-            stereo=StereoConfig(sparse_mode="auto"),
+            # edge-aware P2 (gamma=5): measured winner on every urban
+            # fixture vs the MSA goldens (+2-4.5pp agree@3px; the 8-path
+            # variant measured a wash and stays out — docs/REAL_IMAGES.md)
+            stereo=StereoConfig(sparse_mode="auto", edge_p2=True,
+                                edge_p2_gamma=5.0),
             # motion-only build: XLA wins (0.157 vs 0.159 ms); the local/window
             # block build: the fused Pallas kernel wins 8.1x (0.0189 vs
             # 0.153 ms at F=4 x L=2048 — kernel_bench.json at HEAD)
