@@ -171,6 +171,8 @@ def build_corridor(
     slab_near: float = 10.0,
     lookahead: float = 80.0,
     stride: int = 1,
+    augment: bool = False,
+    far_field: bool = False,
 ) -> list[Chunk]:
     """Assemble a *partitioned* street corridor along the trajectory.
 
@@ -204,6 +206,20 @@ def build_corridor(
         if key not in clouds:
             clouds[key] = _lift_cloud(name, band, stride, mirror)
         pts_c, col, spc, obl = clouds[key]
+        if augment:
+            # per-anchor photometric augmentation (round-4 verdict, weak #3):
+            # the long replay collapsed in low-contrast recycled stretches
+            # (dark foliage sides), so (a) renormalize each chunk's contrast
+            # toward a healthy std — FAST/BRIEF live on local contrast — and
+            # (b) add a deterministic per-anchor brightness/contrast jitter
+            # so texture twins >= 56 m apart stop being photometric twins too
+            mu, sd = float(col.mean()), float(col.std())
+            gain = min(2.5, max(1.0, 40.0 / max(sd, 1e-3)))
+            gain *= 0.9 + 0.1 * ((k * 13) % 4) / 3.0
+            beta = (((k * 37) % 7) - 3) * 5.0
+            col = np.clip(128.0 + (col - mu) * gain + beta, 0.0, 255.0).astype(
+                np.float32
+            )
         T = poses[i]
         # anchors before the first / past the last pose extend along the
         # boundary heading
@@ -214,6 +230,29 @@ def build_corridor(
         chunks.append(
             Chunk(anchor=pts_w.mean(axis=0), pts=pts_w, colors=col, spacing=spc, oblique=obl)
         )
+        if far_field and k % 4 == 0:
+            # distant structure every 4th anchor (band beyond the slabs).
+            # The slab partition exists to prevent near-field z-buffer
+            # shimmer; far points project with sub-pixel footprint changes,
+            # so their overlap across anchors is benign — and they are what
+            # anchors matching at native 10 Hz speed (2.7 m/pose): a point
+            # at 50 m changes scale by ~5 % per frame where the 10-24 m
+            # slabs change by 11-27 %.  Real KITTI frames always contain
+            # such a far field; a corridor without one cannot be tracked at
+            # highway per-frame motion by ANY frame-to-frame matcher.
+            fkey = (name, mirror, "far")
+            if fkey not in clouds:
+                clouds[fkey] = _lift_cloud(name, (24.3, 70.0), stride * 2, mirror)
+            fpts, fcol, fspc, fobl = clouds[fkey]
+            if augment:
+                fcol = np.clip(128.0 + (fcol - fcol.mean()) * gain + beta, 0.0, 255.0).astype(np.float32)
+            fpts_w = fpts @ T[:3, :3].T.astype(np.float32) + (
+                T[:3, 3] + T[:3, 2] * extra
+            ).astype(np.float32)
+            chunks.append(
+                Chunk(anchor=fpts_w.mean(axis=0), pts=fpts_w, colors=fcol,
+                      spacing=fspc, oblique=fobl)
+            )
     return chunks
 
 
