@@ -150,13 +150,20 @@ def motion_hessian_gradient(
 LB_BLOCK = 512  # landmarks per grid step
 
 
-def _local_kernel(F: int, delta: float):
-    def kernel(P_ref, Xt_ref, obsT_ref, m_ref, pl_ref, pose_ref):
+def _local_kernel(F: int, delta: float, stereo: bool):
+    def kernel(*refs):
+        if stereo:
+            P_ref, Xt_ref, obsT_ref, m_ref, urm_ref, pl_ref, pose_ref = refs
+        else:
+            P_ref, Xt_ref, obsT_ref, m_ref, pl_ref, pose_ref = refs
+            urm_ref = None
         i = pl.program_id(0)
         xw = Xt_ref[0:1, :]
         yw = Xt_ref[1:2, :]
         zw = Xt_ref[2:3, :]
-        fx, fy, cx, cy = P_ref[4, 0, 0], P_ref[4, 0, 1], P_ref[4, 0, 2], P_ref[4, 0, 3]
+        # intrinsics ride in pose-buffer row F (one past the poses)
+        fx, fy, cx, cy = P_ref[F, 0, 0], P_ref[F, 0, 1], P_ref[F, 0, 2], P_ref[F, 0, 3]
+        bf = P_ref[F, 1, 0]
 
         zero11 = jnp.zeros((1, 1), jnp.float32)
         Lb = xw.shape[1]
@@ -176,7 +183,16 @@ def _local_kernel(F: int, delta: float):
             ru = u - obsT_ref[f, 0:1, :]
             rv = v - obsT_ref[f, 1:2, :]
             mask_pos = m_ref[f : f + 1, :] * (pz > 0.05)
-            w, rho = _irls(ru * ru + rv * rv, mask_pos, delta)
+            if stereo:
+                # third residual row u_R = u - bf/z (the g2o
+                # EdgeStereoSE3ProjectXYZ analogue, ops/local_ba docstring),
+                # masked per observation by the stereo-validity weight
+                wr = urm_ref[f, 1:2, :]
+                rs = (u - bf * iz - urm_ref[f, 0:1, :]) * wr
+                r2 = ru * ru + rv * rv + rs * rs
+            else:
+                r2 = ru * ru + rv * rv
+            w, rho = _irls(r2, mask_pos, delta)
             cost = cost + jnp.sum(rho, keepdims=True)
 
             zerov = jnp.zeros_like(pz)
@@ -187,23 +203,44 @@ def _local_kernel(F: int, delta: float):
             # Jp = duv_dpc @ R (landmark Jacobian)
             Jpu = [fx * iz * R[0][b] - fx * px * iz2 * R[2][b] for b in range(3)]
             Jpv = [fy * iz * R[1][b] - fy * py * iz2 * R[2][b] for b in range(3)]
+            if stereo:
+                # d(u_R)/dpc adds bf*iz2 * dz/dpc; through the twist chain
+                # dz/dxi = [0, 0, 1, py, -px, 0], through R it is R[2][b]
+                b2 = bf * iz2
+                Js = [Ju[0] * wr, Ju[1] * wr, (Ju[2] + b2) * wr,
+                      (Ju[3] + b2 * py) * wr, (Ju[4] - b2 * px) * wr,
+                      Ju[5] * wr]
+                Jps = [(Jpu[b] + b2 * R[2][b]) * wr for b in range(3)]
 
             for a in range(3):
                 for b in range(3):
                     Hpp[a][b] = Hpp[a][b] + w * (Jpu[a] * Jpu[b] + Jpv[a] * Jpv[b])
+                    if stereo:
+                        Hpp[a][b] = Hpp[a][b] + w * Jps[a] * Jps[b]
                 gp[a] = gp[a] + w * (Jpu[a] * ru + Jpv[a] * rv)
+                if stereo:
+                    gp[a] = gp[a] + w * Jps[a] * rs
             for a in range(6):
                 for b in range(3):
-                    hcp_rows.append(w * (Ju[a] * Jpu[b] + Jv[a] * Jpv[b]))
+                    acc = w * (Ju[a] * Jpu[b] + Jv[a] * Jpv[b])
+                    if stereo:
+                        acc = acc + w * Js[a] * Jps[b]
+                    hcp_rows.append(acc)
 
             cells = [[zero11] * 8 for _ in range(8)]
             for a in range(6):
                 for b in range(a, 6):
-                    s = jnp.sum(w * (Ju[a] * Ju[b] + Jv[a] * Jv[b]), keepdims=True)
+                    hc = w * (Ju[a] * Ju[b] + Jv[a] * Jv[b])
+                    if stereo:
+                        hc = hc + w * Js[a] * Js[b]
+                    s = jnp.sum(hc, keepdims=True)
                     cells[a][b] = s
                     if b != a:
                         cells[b][a] = s
-                cells[a][6] = jnp.sum(w * (Ju[a] * ru + Jv[a] * rv), keepdims=True)
+                gcv = w * (Ju[a] * ru + Jv[a] * rv)
+                if stereo:
+                    gcv = gcv + w * Js[a] * rs
+                cells[a][6] = jnp.sum(gcv, keepdims=True)
             all_cells.append(cells)
 
         per_l = [Hpp[a][b] for a in range(3) for b in range(3)] + gp + hcp_rows
@@ -237,43 +274,56 @@ def local_ba_blocks(
     maskf: jax.Array,
     cam,
     delta: float,
+    urmT: jax.Array | None = None,
 ):
     """Fused normal-equation block build for local BA.
 
     poses (F,4,4); Xt (3,L); obsT (F,2,L); maskf (F,L) float {0,1};
-    cam a Camera.  Returns (Hcc (F,6,6), Hcp (F,L,6,3), Hpp (L,3,3),
-    gc (F,6), gp (L,3), cost ()) — matching
+    cam a Camera.  ``urmT`` (F,2,L), if given, adds the stereo residual row
+    per observation: row 0 = right-image u observation, row 1 = stereo
+    validity weight {0,1} (matches ops/local_ba's obs_ur/obs_r_mask
+    semantics, so the production window-BA path — which always carries
+    stereo edges — keeps this fused build).  Returns (Hcc (F,6,6),
+    Hcp (F,L,6,3), Hpp (L,3,3), gc (F,6), gp (L,3), cost ()) — matching
     ops/local_ba.build_normal_equations.
     """
     F = poses.shape[0]
     L = Xt.shape[1]
     assert L % LB_BLOCK == 0, "landmark count must be a multiple of LB_BLOCK"
-    # intrinsics ride in row P[4, 0, :4] of the pose buffer, so a 5th pose
-    # would silently clobber them — fail loudly instead (window_frames is a
-    # user knob and config.kitti() defaults this kernel on TPU)
-    assert F <= 4, f"fused local-BA build supports at most 4 poses, got {F}"
-    P = jnp.zeros((8, 4, 4), jnp.float32).at[:F].set(poses)
-    P = P.at[4, 0, :4].set(jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]))
+    stereo = urmT is not None
+    # intrinsics ride in pose-buffer row F (fx/fy/cx/cy at [F,0,:4], bf at
+    # [F,1,0]); the buffer is padded to a sublane multiple
+    n_rows = -(-(F + 1) // 8) * 8
+    P = jnp.zeros((n_rows, 4, 4), jnp.float32).at[:F].set(poses)
+    P = P.at[F, 0, :4].set(jnp.stack([cam.fx, cam.fy, cam.cx, cam.cy]))
+    P = P.at[F, 1, 0].set(cam.bf)
     n_pl = 12 + 18 * F
+    in_specs = [
+        pl.BlockSpec((n_rows, 4, 4), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, LB_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, 2, LB_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, LB_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    operands = [P, Xt, obsT, maskf]
+    if stereo:
+        in_specs.append(
+            pl.BlockSpec((F, 2, LB_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        )
+        operands.append(urmT)
     pl_out, pose_out = pl.pallas_call(
-        _local_kernel(F, delta),
+        _local_kernel(F, delta, stereo),
         out_shape=(
             jax.ShapeDtypeStruct((n_pl, L), jnp.float32),
             jax.ShapeDtypeStruct((F, 8, 8), jnp.float32),
         ),
         grid=(L // LB_BLOCK,),
-        in_specs=[
-            pl.BlockSpec((8, 4, 4), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, LB_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, 2, LB_BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, LB_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((n_pl, LB_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, 8, 8), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=jax.default_backend() == "cpu",
-    )(P, Xt, obsT, maskf)
+    )(*operands)
 
     Hpp = pl_out[:9].T.reshape(L, 3, 3)
     gp = pl_out[9:12].T

@@ -125,15 +125,20 @@ def build_normal_equations(
     backend: str = "xla",
     obs_ur=None, obs_r_mask=None,
 ) -> NormalEq:
-    if backend == "pallas" and obs_ur is not None:
-        # the fused kernel builds 2-component (mono) blocks; stereo edges
-        # take the XLA einsum path until the kernel grows a third row
-        backend = "xla"
     if backend == "pallas":
         # fused landmark-block build (kernels/ba_hessian.local_ba_blocks):
-        # Jc/Jp never materialize, blocks accumulate in VMEM
+        # Jc/Jp never materialize, blocks accumulate in VMEM.  Stereo edges
+        # ride as a packed (F, 2, L) [u_R, validity] input — the production
+        # window-BA path (always stereo) keeps the fused build.
         from stereo_semantic_vo_tpu.kernels.ba_hessian import local_ba_blocks
 
+        urmT = None
+        if obs_ur is not None:
+            rm = (
+                obs_r_mask if obs_r_mask is not None
+                else jnp.ones_like(obs_ur, bool)
+            )
+            urmT = jnp.stack([obs_ur, rm.astype(jnp.float32)], axis=1)
         Hcc, Hcp, Hpp, gc, gp, cost = local_ba_blocks(
             poses,
             points.T,
@@ -141,6 +146,7 @@ def build_normal_equations(
             obs_mask.astype(jnp.float32),
             cam,
             float(huber_delta),
+            urmT=urmT,
         )
         return NormalEq(Hcc=Hcc, Hcp=Hcp, Hpp=Hpp, gc=gc, gp=gp, cost=cost)
     r, w, Jc, Jp, cost = _residual_and_jacobians(

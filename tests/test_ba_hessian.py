@@ -111,6 +111,57 @@ class TestMotionHessian:
             np.testing.assert_allclose(a, b, rtol=3e-5, atol=atol, err_msg=name)
         np.testing.assert_allclose(float(cost), float(eq.cost), rtol=1e-5)
 
+    def test_local_blocks_match_xla_build_stereo_edges_f8(self):
+        """Stereo residual row + 8-pose window (the production window-BA
+        shape): the fused build must match the XLA einsum build — this was
+        the silent pallas->xla downgrade path before round 5."""
+        from stereo_semantic_vo_tpu.kernels.ba_hessian import local_ba_blocks
+        from stereo_semantic_vo_tpu.ops.local_ba import build_normal_equations
+
+        rng = np.random.RandomState(2)
+        F, L = 8, 512
+        X = np.stack(
+            [rng.uniform(-15, 15, L), rng.uniform(-4, 4, L), rng.uniform(8, 50, L)],
+            axis=-1,
+        ).astype(np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * F)
+        for f in range(F):
+            poses[f][0, 3] = -0.8 * f
+            poses[f][2, 3] = 0.3 * f
+        pc = np.einsum("fij,lj->fli", poses[:, :3, :3], X) + poses[:, None, :3, 3]
+        u = float(CAM.fx) * pc[..., 0] / pc[..., 2] + float(CAM.cx)
+        v = float(CAM.fy) * pc[..., 1] / pc[..., 2] + float(CAM.cy)
+        obs = np.stack([u, v], axis=-1).astype(np.float32)
+        obs += rng.normal(0, 1.5, obs.shape).astype(np.float32)
+        mask = (pc[..., 2] > 0.5) & (rng.rand(F, L) > 0.2)
+        ur = (u - float(CAM.bf) / pc[..., 2] + rng.normal(0, 0.8, u.shape)).astype(
+            np.float32
+        )
+        rmask = mask & (rng.rand(F, L) > 0.3)
+        delta = float(BAConfig().huber_delta)
+
+        eq = build_normal_equations(
+            jnp.asarray(poses), jnp.asarray(X), jnp.asarray(obs),
+            jnp.asarray(mask), CAM, delta,
+            obs_ur=jnp.asarray(ur), obs_r_mask=jnp.asarray(rmask),
+        )
+        urmT = jnp.stack(
+            [jnp.asarray(ur), jnp.asarray(rmask).astype(jnp.float32)], axis=1
+        )
+        Hcc, Hcp, Hpp, gc, gp, cost = local_ba_blocks(
+            jnp.asarray(poses), jnp.asarray(X).T,
+            jnp.swapaxes(jnp.asarray(obs), 1, 2),
+            jnp.asarray(mask).astype(jnp.float32), CAM, delta, urmT=urmT,
+        )
+        for name, a, b in [
+            ("Hcc", Hcc, eq.Hcc), ("Hcp", Hcp, eq.Hcp), ("Hpp", Hpp, eq.Hpp),
+            ("gc", gc, eq.gc), ("gp", gp, eq.gp),
+        ]:
+            a, b = np.asarray(a), np.asarray(b)
+            atol = 1e-4 * max(float(np.abs(b).max()), 1.0)
+            np.testing.assert_allclose(a, b, rtol=3e-5, atol=atol, err_msg=name)
+        np.testing.assert_allclose(float(cost), float(eq.cost), rtol=1e-5)
+
     def test_local_ba_converges_with_pallas_build(self):
         from stereo_semantic_vo_tpu.ops.local_ba import local_ba
 
