@@ -308,9 +308,11 @@ class VOConfig:
             # variant measured a wash and stays out — docs/REAL_IMAGES.md)
             stereo=StereoConfig(sparse_mode="auto", edge_p2=True,
                                 edge_p2_gamma=5.0),
-            # motion-only build: XLA wins (0.157 vs 0.159 ms); the local/window
-            # block build: the fused Pallas kernel wins 8.1x (0.0189 vs
-            # 0.153 ms at F=4 x L=2048 — kernel_bench.json at HEAD)
+            # motion-only build: XLA wins (0.079 vs 0.113 ms); the local/window
+            # block build: the fused Pallas kernel wins 18x (0.0056 vs
+            # 0.101 ms at F=4 x L=2048 — kernel_bench.json at HEAD; round 5
+            # added the stereo residual row, so the production stereo-edge
+            # window BA path keeps the fused build)
             ba=BAConfig(local_hessian_backend="auto", trim_px=10.0),
         )
 
