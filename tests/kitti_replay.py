@@ -466,6 +466,60 @@ def make_billboard(
     )
 
 
+def make_vehicle_billboard(
+    size_m: tuple[float, float],
+    seed: int,
+    pose_fn: Callable[[int], np.ndarray],
+    px_per_m: float = 28.0,
+) -> MovingObject:
+    """Procedural car-like textured billboard.
+
+    Texture-crop billboards (make_billboard) are pieces of the SAME urban
+    imagery the static world is built from — visually indistinguishable
+    from the background by construction, which makes them unlearnable for a
+    detector (round-5 finding: a converged tiny-v2 scored 0.39 recall /
+    0.20 precision on them).  This generator draws a consistent vehicle
+    gestalt instead: dark rounded body, lighter windows, black wheels,
+    per-instance brightness jitter — the visual concept a car detector
+    actually keys on."""
+    rng = np.random.RandomState(seed)
+    wm, hm = size_m
+    w, h = int(wm * px_per_m), int(hm * px_per_m)
+    body = 55.0 + rng.uniform(-18, 35)
+    tex = np.full((h, w), 0.0, np.float32)
+    # body: rounded rectangle over the lower 3/4
+    y0 = int(0.25 * h)
+    tex[y0:, :] = body
+    # roof slope
+    for x in range(w):
+        yr = int(0.25 * h + 0.12 * h * abs(2.0 * x / w - 1.0))
+        tex[y0:yr, x] = 0.0
+    # windows: brighter band
+    win = body + 70 + rng.uniform(-10, 15)
+    wy0, wy1 = int(0.30 * h), int(0.48 * h)
+    tex[wy0:wy1, int(0.12 * w):int(0.44 * w)] = win
+    tex[wy0:wy1, int(0.56 * w):int(0.88 * w)] = win
+    # wheels: dark discs at the bottom
+    yy, xx = np.mgrid[0:h, 0:w]
+    for cxf in (0.22, 0.78):
+        cxp, cyp = cxf * w, 0.88 * h
+        r = 0.10 * h
+        tex[(yy - cyp) ** 2 + (xx - cxp) ** 2 < r * r] = 15.0
+    # texture noise so FAST finds corners on it
+    tex += rng.randn(h, w).astype(np.float32) * 6.0
+    tex = np.clip(tex, 5.0, 250.0)
+
+    vs, us = np.mgrid[0:h, 0:w]
+    x = (us.ravel() / (w - 1) - 0.5) * wm
+    y = (vs.ravel() / (h - 1) - 0.5) * hm
+    pts = np.stack([x, y, np.zeros_like(x)], axis=-1).astype(np.float32)
+    spacing = np.full(pts.shape[0], max(wm / (w - 1), hm / (h - 1)), np.float32)
+    return MovingObject(
+        pts=pts, colors=tex.ravel(), spacing=spacing,
+        oblique=np.zeros(pts.shape[0], bool), pose_fn=pose_fn,
+    )
+
+
 def lateral_crossing(
     poses: np.ndarray,
     ref_frame: int,
