@@ -191,13 +191,22 @@ class PnPConfig:
     min_inliers: int = 10
     seed: int = 0
     # physical plausibility: reject a pose that lands farther than this (m)
-    # from the constant-velocity prediction — applied unconditionally
-    # (no inlier-count escape hatch).  Repetitive-texture aliasing can
+    # from the constant-velocity prediction.  Repetitive-texture aliasing can
     # assemble a consistent wrong consensus that teleports the pose by tens
     # of meters (and poisons the velocity model with it); a vehicle cannot
     # do that between frames.  0 disables (reference-faithful: the reference
     # accepts any solvePnPRansac result, pnpmatch.cc:245-247).
     pose_jump_max_m: float = 0.0
+    # inlier-count escape hatch for the jump gate: accept a "jumping" pose
+    # anyway when its consensus has at least this many inliers (0 = no
+    # escape, the pre-round-5 behavior).  Trade-off by operating point: at
+    # 20 Hz the dominant threat is aliased consensus (56 m texture twins
+    # CAN assemble large wrong consensus sets — keep 0); at native 10 Hz
+    # per-frame motion, one bad pose poisons the velocity model and the
+    # unconditional gate then rejects every CORRECT pose as a jump — a
+    # measured death spiral (0 matches for 30+ frames, docs/ACCURACY.md
+    # "Native 10 Hz") that a strong-consensus escape breaks.
+    pose_jump_escape_inliers: int = 0
     # motion-model sanity cap: a per-frame velocity update whose translation
     # exceeds this (m/frame) is discarded (the previous velocity is kept).
     # A poisoned velocity poisons every downstream prior — the spatial match
@@ -234,6 +243,14 @@ class BAConfig:
     # local BA (sliding window poses + landmarks, Schur complement)
     local_iterations: int = 5
     max_landmarks: int = 2048
+    # stereo residual row (u_R = u - bf/z) in POSE optimization — motion BA
+    # and the RANSAC polish.  The reference's pose optimizer is mono-only
+    # (Optimizer.cc:42-74, EdgeSE3ProjectXYZOnlyPose), which leaves
+    # translation-along-depth weakly constrained when the consensus is
+    # far-field-dominated (at native 10 Hz motion: >1.5 m pose error with
+    # every mono gate satisfied — docs/ACCURACY.md).  False =
+    # reference-faithful mono.
+    stereo_pose: bool = False
     # normal-equation builds: "xla" (einsum over a materialized (K,2,6) J)
     # or "pallas" (fused residual+weight+J+accumulate, kernels/ba_hessian.py).
     # Separate knobs because the measured winners differ on v5e

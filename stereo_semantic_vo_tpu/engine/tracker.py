@@ -268,12 +268,24 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
     mp_slot = jnp.where(m3, slot3, slot5)
     has_obs = m3 | m5
     obs_Xw = state.map_Xw[mp_slot]
+    ur = urm = None
+    if cfg.ba.stereo_pose:
+        # stereo residual row for pose optimization: the current frame's
+        # own disparity measurement u_R = u - d pins translation-along-
+        # depth where a far-field-dominated mono consensus cannot
+        # (BAConfig.stereo_pose; the reference's pose optimizer is
+        # mono-only, Optimizer.cc:42-74)
+        ur = kp.uv[:, 0] - st.disparity
+        urm = has_obs & st.valid
     pnp = pnp_ops.ransac_pnp(
         obs_Xw, kp.uv, has_obs, cam, cfg.pnp,
         key=jax.random.fold_in(jax.random.PRNGKey(cfg.pnp.seed), t),
         T_seed=T_pred,
+        ur=ur, ur_mask=urm,
     )
-    ba = ba_ops.motion_only_ba(pnp.T_cw, obs_Xw, kp.uv, has_obs, cam, cfg.ba)
+    ba = ba_ops.motion_only_ba(
+        pnp.T_cw, obs_Xw, kp.uv, has_obs, cam, cfg.ba, ur=ur, ur_mask=urm
+    )
     # consensus guard: accept the BA pose only if it keeps (most of) the
     # RANSAC consensus — an optimization that sheds the inlier set was
     # captured by outliers, and the PnP pose is the better estimate.  The
@@ -291,10 +303,19 @@ def track_step(state: VOState, frame: FrameInput, cfg: VOConfig) -> tuple[VOStat
         # move that far between frames.  Rejecting it (falling back to the
         # prediction, with reseed-after-lost as the re-lock path) keeps the
         # velocity model sane, so the motion-prior gates recover instead of
-        # deadlocking.  No inlier-count escape hatch: repetitive texture can
-        # assemble arbitrarily large wrong consensus sets (56 m scene twins).
+        # deadlocking.  By default there is no inlier-count escape hatch
+        # (repetitive texture can assemble arbitrarily large wrong consensus
+        # sets — 56 m scene twins); at high per-frame motion the opposite
+        # failure dominates (a poisoned prediction rejects every correct
+        # pose), so cfg.pnp.pose_jump_escape_inliers > 0 lets an
+        # overwhelming consensus override the gate and re-lock tracking.
         jump = jnp.linalg.norm((T_est @ lie.T_inv(T_pred))[:3, 3])
-        ok = ok & (jump <= cfg.pnp.pose_jump_max_m) & jnp.all(jnp.isfinite(T_est))
+        plausible = jump <= cfg.pnp.pose_jump_max_m
+        if cfg.pnp.pose_jump_escape_inliers > 0:
+            plausible = plausible | (
+                pnp.n_inliers >= cfg.pnp.pose_jump_escape_inliers
+            )
+        ok = ok & plausible & jnp.all(jnp.isfinite(T_est))
     T_cw = jnp.where(ok, T_est, T_pred)
 
     # ---- 7. map maintenance -------------------------------------------------

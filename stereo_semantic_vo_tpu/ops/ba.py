@@ -86,10 +86,22 @@ def motion_only_ba(
     cam: Camera,
     cfg: BAConfig,
     use_huber: bool = True,
+    ur: jax.Array | None = None,
+    ur_mask: jax.Array | None = None,
 ) -> BAResult:
     """Pose-only LM over masked reprojection residuals.
 
     T0_cw: (4, 4) initial pose; X_w: (K, 3); uv: (K, 2); mask: (K,) bool.
+
+    ``ur``/``ur_mask`` (K,) add a per-observation STEREO residual row
+    u_R = u - bf/z (the g2o EdgeStereoSE3ProjectXYZOnlyPose analogue;
+    the reference's pose optimizer is mono-only, Optimizer.cc:42-74).
+    Without it, a consensus dominated by far-field points leaves
+    translation-along-depth near-unconstrained — at native 10 Hz motion a
+    pose can satisfy every 8 px mono gate while being >1.5 m off
+    (docs/ACCURACY.md "Native 10 Hz"); the stereo row pins that axis with
+    the current frame's own disparity measurements.  The final inlier
+    classification stays mono (reference chi2 semantics).
 
     When ``cfg.trim_px > 0`` the optimization is *trimmed*: observations whose
     residual at the seed pose exceeds trim_px are masked out, so the LM
@@ -110,9 +122,18 @@ def motion_only_ba(
         r0, z0 = reprojection_residuals(T0_cw, X_w, uv, cam)
         close0 = jnp.sum(r0 * r0, axis=-1) <= cfg.trim_px**2
         m = m * close0 * (z0 > 0.05)
+    stereo = ur is not None
+    if stereo:
+        urm = (
+            ur_mask.astype(jnp.float32)
+            if ur_mask is not None
+            else jnp.ones_like(ur)
+        )
 
     use_pallas = (
-        resolve_backend(cfg.hessian_backend, "xla", "xla") == "pallas" and use_huber
+        resolve_backend(cfg.hessian_backend, "xla", "xla") == "pallas"
+        and use_huber
+        and not stereo  # the fused motion kernel is mono-only
     )
     if use_pallas:
         # fused build: the (K, 2, 6) Jacobian never materializes
@@ -123,10 +144,20 @@ def motion_only_ba(
         Xt = X_w.T
         uvt = uv.T
 
+    def stereo_residual(T):
+        """(K,) stereo-row residual (u_R pred - u_R obs) * mask, masked."""
+        pc = lie.transform_points(T, X_w)
+        z = jnp.where(jnp.abs(pc[..., 2]) > 1e-6, pc[..., 2], 1e-6)
+        u_pred = cam.fx * pc[..., 0] / z + cam.cx
+        return (u_pred - cam.bf / z - ur) * urm
+
     def robust_cost(T, mw):
         r, z = reprojection_residuals(T, X_w, uv, cam)
         w_geom = mw * (z > 0.05)
         r2 = jnp.sum(r * r, axis=-1)
+        if stereo:
+            rs = stereo_residual(T)
+            r2 = r2 + rs * rs
         if use_huber:
             d = cfg.huber_delta
             rho = jnp.where(r2 <= d * d, r2, 2.0 * d * jnp.sqrt(jnp.maximum(r2, 1e-12)) - d * d)
@@ -149,6 +180,20 @@ def motion_only_ba(
             Jw = J * w[:, None, None]
             H = jnp.einsum("kif,kig->fg", Jw, J)              # (6, 6)
             g = jnp.einsum("kif,ki->f", Jw, r)                # (6,)
+            if stereo:
+                # stereo row: d(u_R)/dxi = d(u)/dxi + bf/z^2 * dz/dxi,
+                # dz/dxi = [0, 0, 1, py, -px, 0] (left-mult twist)
+                pc = lie.transform_points(T, X_w)
+                x_, y_ = pc[..., 0], pc[..., 1]
+                z_ = jnp.where(jnp.abs(pc[..., 2]) > 1e-6, pc[..., 2], 1e-6)
+                b2 = cam.bf / (z_ * z_)
+                zero = jnp.zeros_like(z_)
+                one = jnp.ones_like(z_)
+                dz = jnp.stack([zero, zero, one, y_, -x_, zero], axis=-1)
+                Js = (J[:, 0, :] + b2[:, None] * dz) * urm[:, None]
+                rs = stereo_residual(T)
+                H = H + jnp.einsum("kf,kg->fg", Js * w[:, None], Js)
+                g = g + jnp.einsum("kf,k->f", Js * w[:, None], rs)
         Hl = H + lam * jnp.diag(jnp.diagonal(H) + 1e-9)
         delta = -jnp.linalg.solve(Hl, g)
         T_new = lie.se3_exp(delta) @ T

@@ -66,21 +66,43 @@ def _dlt_pose(Xs: jax.Array, xs: jax.Array) -> jax.Array:
     """Minimal DLT: S world points (S, 3) + normalized image points (S, 2)
     -> 3x4 projective pose [M | t], sign-fixed so sample depths are positive.
 
-    Solved as the A^T A nullspace via :func:`smallest_eigvec`.
+    Solved as the A^T A nullspace via :func:`smallest_eigvec`, with
+    Hartley-style normalization of the WORLD side first: raw scene
+    coordinates span ~1 (homogeneous) to ~70 (far-field meters), so the
+    unnormalized A^T A is conditioned like (70^2)^2 ~ 2e7 — past what f32
+    inverse iteration resolves, and the dominant source of backend-dependent
+    hypothesis garbage at large per-frame motion (round-5 native-10 Hz
+    debugging: identical consensus sets, CPU pose off by 1 m).  Centering +
+    RMS-sqrt(3) scaling is the textbook conditioning fix; the pose is
+    denormalized exactly afterwards.
     """
     S = Xs.shape[0]
+    c = jnp.mean(Xs, axis=0)
+    rms = jnp.sqrt(jnp.mean(jnp.sum((Xs - c) ** 2, axis=-1)) + 1e-12)
+    s = jnp.sqrt(3.0) / jnp.maximum(rms, 1e-6)
+    Xn = (Xs - c) * s
     ones = jnp.ones((S, 1), Xs.dtype)
-    Xh = jnp.concatenate([Xs, ones], axis=1)  # (S, 4)
-    zeros = jnp.zeros_like(Xh)
+    Xh_n = jnp.concatenate([Xn, ones], axis=1)  # (S, 4) normalized
+    zeros = jnp.zeros_like(Xh_n)
     u = xs[:, 0:1]
     v = xs[:, 1:2]
-    rows_u = jnp.concatenate([Xh, zeros, -u * Xh], axis=1)  # (S, 12)
-    rows_v = jnp.concatenate([zeros, Xh, -v * Xh], axis=1)
+    rows_u = jnp.concatenate([Xh_n, zeros, -u * Xh_n], axis=1)  # (S, 12)
+    rows_v = jnp.concatenate([zeros, Xh_n, -v * Xh_n], axis=1)
     A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2S, 12)
     M = A.T @ A
     p = smallest_eigvec(M)
-    P = p.reshape(3, 4)
+    Pn = p.reshape(3, 4)
+    # denormalize: X_n = s (X - c)  =>  P = Pn @ [[s I, -s c], [0, 1]]
+    N4 = jnp.concatenate(
+        [
+            jnp.concatenate([s * jnp.eye(3, dtype=Xs.dtype), (-s * c)[:, None]], axis=1),
+            jnp.array([[0.0, 0.0, 0.0, 1.0]], Xs.dtype),
+        ],
+        axis=0,
+    )
+    P = Pn @ N4
     # fix sign: majority of sample depths positive
+    Xh = jnp.concatenate([Xs, ones], axis=1)
     depth = (Xh @ P[2])[..., None]
     sign = jnp.where(jnp.sum(jnp.sign(depth)) >= 0, 1.0, -1.0)
     # fix scale so that ||M3 rows|| ~ rotation (unit scale)
@@ -119,6 +141,8 @@ def ransac_pnp(
     key: jax.Array | None = None,
     refine_cfg: BAConfig | None = None,
     T_seed: jax.Array | None = None,
+    ur: jax.Array | None = None,
+    ur_mask: jax.Array | None = None,
 ) -> PnPResult:
     """Estimate T_cw from (K, 3) world points and (K, 2) pixel observations.
 
@@ -163,7 +187,10 @@ def ransac_pnp(
     best_inl = inl[best]
 
     rcfg = refine_cfg or BAConfig(iterations=cfg.refine_iters)
-    res = ba_ops.motion_only_ba(T0, X_w, uv, best_inl, cam, rcfg, use_huber=False)
+    res = ba_ops.motion_only_ba(
+        T0, X_w, uv, best_inl, cam, rcfg, use_huber=False,
+        ur=ur, ur_mask=ur_mask,
+    )
 
     # recount inliers at the refined pose
     r, zf = ba_ops.reprojection_residuals(res.T_cw, X_w, uv, cam)
