@@ -26,3 +26,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def pytest_report_header(config):
     return f"jax devices: {jax.device_count()} ({jax.default_backend()})"
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite accumulates hundreds of distinct jitted programs (many
+    track_step variants x 8 virtual devices); on small hosts the native
+    resources behind them (mappings/threads) eventually segfault the
+    process mid-compile (observed deterministically at ~140 tests in
+    round 5, with every module green in isolation).  Per-module recompiles
+    cost some wall time and buy a bounded footprint.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
